@@ -1,0 +1,55 @@
+"""skeres_tpu — a TPU-native nonlinear least-squares framework.
+
+A from-scratch re-design (not a port) of the skeres/Ceres capability
+surface for TPU: residual blocks are pure JAX functions batched with
+``vmap``; Jacobians come from ``jax.jvp``/``jacfwd``; the block-sparse
+Jacobian lives as batched dense blocks in HBM; trust-region control runs as
+a host-side loop over jitted device programs; linear solves are XLA/Pallas
+kernels; multi-chip scaling shards residual blocks over a
+``jax.sharding.Mesh`` with ``psum`` reduction of the normal equations.
+"""
+
+from skeres_tpu.ops.loss import (
+    ArctanLoss,
+    CauchyLoss,
+    ComposedLoss,
+    HuberLoss,
+    LossFunction,
+    ScaledLoss,
+    SoftLOneLoss,
+    TolerantLoss,
+    TrivialLoss,
+    TukeyLoss,
+)
+from skeres_tpu.models.manifolds import (
+    AngleManifold,
+    EigenQuaternionManifold,
+    EuclideanManifold,
+    Manifold,
+    ProductManifold,
+    QuaternionManifold,
+    SphereManifold,
+    SubsetManifold,
+)
+
+__version__ = "0.1.0"
+
+# Solver-facing API is imported lazily to keep `import skeres_tpu` light and
+# to avoid import cycles while the core grows.
+
+
+def __getattr__(name):
+    from importlib import import_module
+
+    _core = {
+        "Problem": "skeres_tpu.core.problem",
+        "SolverOptions": "skeres_tpu.core.options",
+        "Summary": "skeres_tpu.core.summary",
+        "solve": "skeres_tpu.core.solver",
+        "Covariance": "skeres_tpu.core.covariance",
+        "GradientProblem": "skeres_tpu.core.gradient_problem",
+        "GradientProblemSolver": "skeres_tpu.core.gradient_problem",
+    }
+    if name in _core:
+        return getattr(import_module(_core[name]), name)
+    raise AttributeError(f"module 'skeres_tpu' has no attribute {name!r}")

@@ -1,0 +1,238 @@
+"""The evaluator: batched residual + tangent-Jacobian evaluation.
+
+TPU-native re-design of the reference lineage's ProgramEvaluator
+(``internal/ceres/evaluator.cc``, ``program_evaluator.h``): instead of a
+thread pool looping over residual blocks with per-thread scratch and a
+JacobianWriter, each homogeneous batch evaluates as ONE vmapped program:
+
+    r, J = vmap(linearize(fn ∘ manifold.plus))(blocks)
+
+with the robust-loss (Triggs) correction fused in, and the normal equations
+assembled by scatter-add (``segment_sum``-style) into dense/tangent space.
+The reference's BlockSparseMatrix becomes "a list of per-batch dense block
+arrays + integer index maps" — all products are einsums on the MXU.
+
+All public methods are pure functions of the state pytree, intended to be
+wrapped in ``jax.jit`` (the Minimizer does this).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skeres_tpu.core.problem import CompiledBatch, Program
+from skeres_tpu.ops.corrector import apply_loss
+
+__all__ = ["Evaluator", "BatchBlocks"]
+
+
+def default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+class BatchBlocks:
+    """Device-side view of one batch's Jacobian blocks: the TPU counterpart
+    of a row-slice of the reference's BlockSparseMatrix."""
+
+    def __init__(self, r, jac, idx):
+        self.r = r  # (B, m) corrected residuals
+        self.jac = jac  # (B, m, T) corrected tangent Jacobian blocks
+        self.idx = idx  # (B, T) global tangent indices
+
+
+class Evaluator:
+    """Builds jittable evaluation functions from a compiled Program."""
+
+    def __init__(
+        self,
+        program: Program,
+        dtype=None,
+        chunk_size: Optional[int] = None,
+        mesh=None,
+    ):
+        self.program = program
+        self.dtype = dtype or default_dtype()
+        self.chunk_size = chunk_size
+        self.mesh = mesh  # jax.sharding.Mesh for residual-block sharding
+        self.num_tangent = program.num_tangent
+
+        # device constants per batch
+        self._batch_const = []
+        for b in program.batches:
+            data = (
+                None
+                if b.data is None
+                else jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(
+                        a,
+                        dtype=self.dtype
+                        if np.issubdtype(np.asarray(a).dtype, np.floating)
+                        else None,
+                    ),
+                    b.data,
+                )
+            )
+            idx = tuple(jnp.asarray(ix) for ix in b.slot_indices)
+            tidx = jnp.asarray(b.tangent_index)
+            # free-coordinate mask gathered per block (B, T)
+            mask = jnp.asarray(
+                program.free_mask[b.tangent_index], dtype=self.dtype
+            )
+            self._batch_const.append((data, idx, tidx, mask))
+
+        self._free_mask = jnp.asarray(program.free_mask, dtype=self.dtype)
+
+    # -- core batched eval -----------------------------------------------------
+
+    def _gather_slots(self, batch: CompiledBatch, idx, state):
+        return tuple(state[gi][ix] for gi, ix in zip(batch.slot_groups, idx))
+
+    def _split_delta(self, batch: CompiledBatch, delta):
+        parts = []
+        col = 0
+        for t in batch.tangent_sizes:
+            parts.append(delta[col : col + t])
+            col += t
+        return parts
+
+    def _batch_residuals(self, bi: int, state):
+        """Residual-only eval: (cost_per_block (B,),)."""
+        batch = self.program.batches[bi]
+        data, idx, _, _ = self._batch_const[bi]
+        xs = self._gather_slots(batch, idx, state)
+
+        if data is None:
+            r = jax.vmap(lambda *x: batch.fn(tuple(x), None))(*xs)
+        else:
+            r = jax.vmap(lambda d, *x: batch.fn(tuple(x), d))(data, *xs)
+
+        s = jnp.sum(r * r, axis=-1)
+        if batch.loss is None:
+            return 0.5 * s
+        rho0, _, _ = batch.loss.evaluate(s)
+        return 0.5 * rho0
+
+    def _batch_residuals_and_jacobian(self, bi: int, state):
+        """Full eval for one batch: (cost (B,), r (B,m), J (B,m,T)) corrected."""
+        batch = self.program.batches[bi]
+        data, idx, _, mask = self._batch_const[bi]
+        xs = self._gather_slots(batch, idx, state)
+        manifolds = [self.program.groups[gi].manifold for gi in batch.slot_groups]
+        T = batch.block_tangent_size
+
+        def one_block(data_row, *x_row):
+            def f(delta):
+                ds = self._split_delta(batch, delta)
+                xp = tuple(m.plus(x, d) for m, x, d in zip(manifolds, x_row, ds))
+                return batch.fn(xp, data_row)
+
+            zero = jnp.zeros((T,), dtype=self.dtype)
+            r, lin = jax.linearize(f, zero)
+            basis = jnp.eye(T, dtype=self.dtype)
+            jac_cols = jax.vmap(lin)(basis)  # (T, m)
+            return r, jnp.swapaxes(jac_cols, 0, 1)  # (m,), (m, T)
+
+        if data is None:
+            r, jac = jax.vmap(lambda *x: one_block(None, *x))(*xs)
+        else:
+            r, jac = jax.vmap(one_block)(data, *xs)
+
+        cost, r_c, (jac_c,) = apply_loss(batch.loss, r, [jac])
+        jac_c = jac_c * mask[:, None, :]  # zero out constant coordinates
+        return cost, r_c, jac_c
+
+    # -- public pure functions (wrap in jit at the call site) -----------------
+
+    def cost(self, state):
+        total = jnp.zeros((), dtype=self.dtype)
+        for bi in range(len(self.program.batches)):
+            total = total + jnp.sum(self._batch_residuals(bi, state))
+        return total
+
+    def blocks(self, state) -> Tuple[Any, List[BatchBlocks]]:
+        """Full evaluation: (cost, per-batch corrected blocks)."""
+        total = jnp.zeros((), dtype=self.dtype)
+        out = []
+        for bi in range(len(self.program.batches)):
+            _, idx, tidx, _ = self._batch_const[bi]
+            cost, r, jac = self._batch_residuals_and_jacobian(bi, state)
+            total = total + jnp.sum(cost)
+            out.append(BatchBlocks(r, jac, tidx))
+        return total, out
+
+    def gradient_and_diag(self, blocks: Sequence[BatchBlocks]):
+        """g = J^T r and diag(J^T J) by scatter-add over all batches."""
+        n = self.num_tangent
+        g = jnp.zeros((n,), dtype=self.dtype)
+        diag = jnp.zeros((n,), dtype=self.dtype)
+        for b in blocks:
+            gb = jnp.einsum("bmi,bm->bi", b.jac, b.r)
+            db = jnp.sum(b.jac * b.jac, axis=1)  # (B, T)
+            g = g.at[b.idx].add(gb)
+            diag = diag.at[b.idx].add(db)
+        return g, diag
+
+    def jtj_dense(self, blocks: Sequence[BatchBlocks]):
+        """Dense (N, N) J^T J via batched block outer products + scatter-add."""
+        n = self.num_tangent
+        h = jnp.zeros((n, n), dtype=self.dtype)
+        for b in blocks:
+            hb = jnp.einsum("bmi,bmj->bij", b.jac, b.jac)
+            h = h.at[b.idx[:, :, None], b.idx[:, None, :]].add(hb)
+        return h
+
+    def jacobian_dense(self, blocks: Sequence[BatchBlocks]):
+        """Materialized dense Jacobian (M, N) and residual vector (M,).
+
+        Only for small problems (DENSE_QR); row order is batch order.
+        """
+        n = self.num_tangent
+        m_total = sum(b.num_blocks * b.residual_dim for b in self.program.batches)
+        jd = jnp.zeros((m_total, n), dtype=self.dtype)
+        rd = jnp.zeros((m_total,), dtype=self.dtype)
+        row0 = 0
+        for spec, b in zip(self.program.batches, blocks):
+            B, m = spec.num_blocks, spec.residual_dim
+            rows = row0 + jnp.arange(B * m).reshape(B, m)
+            jd = jd.at[rows[:, :, None], b.idx[:, None, :]].add(b.jac)
+            rd = rd.at[rows.reshape(-1)].set(b.r.reshape(-1))
+            row0 += B * m
+        return jd, rd
+
+    def jtj_matvec(self, blocks: Sequence[BatchBlocks], v):
+        """v -> J^T (J v) without forming J^T J (CGNR hot path)."""
+        out = jnp.zeros_like(v)
+        for b in blocks:
+            jv = jnp.einsum("bmi,bi->bm", b.jac, v[b.idx])
+            out = out.at[b.idx].add(jnp.einsum("bmi,bm->bi", b.jac, jv))
+        return out
+
+    def plus(self, state, step):
+        """x <- x (+) step, step (N,) in global tangent space."""
+        step = step * self._free_mask
+        new_state = []
+        for g, o, x in zip(self.program.groups, self.program.tangent_offset, state):
+            nb, t = g.num_blocks, g.tangent_size
+            delta = step[o : o + nb * t].reshape(nb, t).astype(x.dtype)
+            new_state.append(jax.vmap(g.manifold.plus)(x, delta))
+        return tuple(new_state)
+
+    def x_norm(self, state):
+        sq = jnp.zeros((), dtype=self.dtype)
+        for x in state:
+            sq = sq + jnp.sum(x.astype(self.dtype) ** 2)
+        return jnp.sqrt(sq)
+
+    def project_bounds(self, state):
+        """Clamp ambient coordinates into [lower, upper] (bounds support)."""
+        if not self.program.has_bounds:
+            return state
+        lowers, uppers = self.program.bounds_arrays(self.dtype)
+        return tuple(
+            jnp.clip(x, lo, hi) for x, lo, hi in zip(state, lowers, uppers)
+        )

@@ -1,0 +1,147 @@
+"""Device-side linear solvers for the damped Gauss-Newton step.
+
+TPU-native re-design of the reference lineage's linear-solver layer
+(``internal/ceres/linear_solver.h``, ``dense_normal_cholesky_solver.cc``,
+``dense_qr_solver.cc``, ``cgnr_solver.cc``, ``conjugate_gradients_solver.cc``):
+every solver here is a *pure function* solving
+
+    (J^T J + diag(d_clamped) / radius) step = -g
+
+in the global tangent space, jit-compiled by the caller. The reference's
+general fill-reducing sparse Cholesky (SuiteSparse) is deliberately not
+ported — a poor TPU fit; sparse problems route to CGNR or Schur solvers
+(documented deviation, SURVEY.md §3.6).
+
+Conventions:
+  g     = J^T r                    (gradient of 0.5 ||r||^2)
+  diag  = squared column norms of J (= diag(J^T J)), already Jacobi-scaled
+  mu    = 1 / trust_region_radius  (scalar device array -> no recompiles)
+Returns (step, num_iterations) where a failed solve yields non-finite step
+(the minimizer treats that as an invalid step, like the reference's
+LINEAR_SOLVER_FAILURE).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "lm_diagonal",
+    "solve_dense_normal_cholesky",
+    "solve_dense_qr",
+    "preconditioned_conjugate_gradients",
+    "solve_cgnr",
+]
+
+
+def lm_diagonal(diag, mu, min_diagonal, max_diagonal):
+    """Clamped LM regularizer: diag(J^T J) -> the per-coordinate damping.
+
+    Mirrors the reference's LevenbergMarquardtStrategy: clamp each squared
+    column norm to [min_diagonal, max_diagonal], then scale by 1/radius.
+    """
+    return jnp.clip(diag, min_diagonal, max_diagonal) * mu
+
+
+def solve_dense_normal_cholesky(jtj, g, diag, mu, min_diagonal, max_diagonal):
+    """Cholesky of the damped normal equations (DENSE_NORMAL_CHOLESKY)."""
+    d = lm_diagonal(diag, mu, min_diagonal, max_diagonal)
+    a = jtj + jnp.diag(d)
+    l = jax.lax.linalg.cholesky(a)  # NaN fill on indefinite -> invalid step
+    step = jax.scipy.linalg.cho_solve((l, True), -g)
+    return step, jnp.ones((), dtype=jnp.int32)
+
+
+def solve_dense_qr(j_dense, r_dense, diag, mu, min_diagonal, max_diagonal):
+    """QR of the row-appended system [J; sqrt(damping)] (DENSE_QR).
+
+    More stable than normal equations; for small dense problems.
+    """
+    n = j_dense.shape[1]
+    d = jnp.sqrt(lm_diagonal(diag, mu, min_diagonal, max_diagonal))
+    a = jnp.concatenate([j_dense, jnp.diag(d)], axis=0)
+    b = jnp.concatenate([-r_dense, jnp.zeros((n,), dtype=r_dense.dtype)], axis=0)
+    q, rr = jnp.linalg.qr(a)
+    step = jax.scipy.linalg.solve_triangular(rr, q.T @ b, lower=False)
+    return step, jnp.ones((), dtype=jnp.int32)
+
+
+def preconditioned_conjugate_gradients(
+    matvec: Callable,
+    b,
+    precond_apply: Callable,
+    max_iterations: int,
+    rtol,
+    min_iterations: int = 0,
+):
+    """PCG on a PSD system A x = b (reference:
+    ``internal/ceres/conjugate_gradients_solver.cc``), as a
+    ``lax.while_loop`` so the whole solve is one device program.
+
+    Stops when ||r|| <= rtol * ||b|| (the reference's r_tolerance form with
+    the eta forcing sequence) or at max_iterations.
+    """
+    bnorm2 = jnp.dot(b, b)
+    tol2 = (rtol * rtol) * bnorm2
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond_apply(r0)
+    rz0 = jnp.dot(r0, z0)
+    state0 = (x0, r0, z0, r0 * 0.0 + z0, rz0, jnp.zeros((), jnp.int32))
+    # p0 = z0 (written as broadcast-safe expression above)
+
+    def cond(state):
+        x, r, z, p, rz, i = state
+        rnorm2 = jnp.dot(r, r)
+        not_converged = (rnorm2 > tol2) | (i < min_iterations)
+        return not_converged & (i < max_iterations) & (rnorm2 > 0.0)
+
+    def body(state):
+        x, r, z, p, rz, i = state
+        ap = matvec(p)
+        pap = jnp.dot(p, ap)
+        alpha = rz / jnp.where(pap > 0.0, pap, jnp.ones_like(pap))
+        alpha = jnp.where(pap > 0.0, alpha, jnp.zeros_like(alpha))
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond_apply(r)
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / jnp.where(rz > 0.0, rz, jnp.ones_like(rz))
+        p = z + beta * p
+        return (x, r, z, p, rz_new, i + 1)
+
+    x, r, z, p, rz, iters = jax.lax.while_loop(cond, body, state0)
+    return x, iters
+
+
+def solve_cgnr(
+    jtj_matvec: Callable,
+    g,
+    diag,
+    mu,
+    min_diagonal,
+    max_diagonal,
+    max_iterations: int,
+    rtol,
+):
+    """CGNR: CG on (J^T J + damping) x = -g without forming J^T J
+    (reference: ``internal/ceres/cgnr_solver.cc``), with Jacobi (diagonal of
+    the damped normal equations) preconditioning."""
+    d = lm_diagonal(diag, mu, min_diagonal, max_diagonal)
+
+    def matvec(v):
+        return jtj_matvec(v) + d * v
+
+    m_inv = 1.0 / jnp.maximum(diag + d, jnp.finfo(g.dtype).tiny)
+
+    def precond(v):
+        return m_inv * v
+
+    return preconditioned_conjugate_gradients(
+        matvec, -g, precond, max_iterations, rtol
+    )

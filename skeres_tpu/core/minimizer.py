@@ -1,0 +1,511 @@
+"""Trust-region minimizer: the outer Levenberg-Marquardt / Dogleg loop.
+
+TPU-native re-design of the reference lineage's minimizer layer
+(``internal/ceres/trust_region_minimizer.cc``,
+``levenberg_marquardt_strategy.cc``, ``dogleg_strategy.cc``,
+``trust_region_step_evaluator.cc``). The architecture differs from the
+reference deliberately:
+
+- The reference runs everything on host threads; here the loop body is 2-3
+  jitted device programs and only *scalars* (cost, step quality, radius)
+  cross the device->host boundary each iteration.
+- The trust-region radius enters the device programs as a device scalar
+  argument so changing it never triggers a recompile.
+- Jacobians are reused across rejected steps exactly like the reference:
+  ``linearize`` (full J pass) runs only after accepted steps; rejected
+  steps re-run only ``solve_and_try`` (damped solve + residual-only eval).
+
+Numerical details (D clamping, radius update formula, non-monotonic step
+evaluator, convergence tests) mirror the reference's formulas exactly;
+those constants are what make iteration counts comparable.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skeres_tpu.core.evaluator import Evaluator
+from skeres_tpu.core.linear_solvers import (
+    lm_diagonal,
+    preconditioned_conjugate_gradients,
+    solve_dense_normal_cholesky,
+    solve_dense_qr,
+)
+from skeres_tpu.core.options import SolverOptions
+from skeres_tpu.core.summary import IterationSummary, Summary
+from skeres_tpu.core.types import (
+    CallbackReturnType,
+    LinearSolverType,
+    TerminationType,
+    TrustRegionStrategyType,
+    DoglegType,
+)
+
+__all__ = ["TrustRegionMinimizer", "TrustRegionStepEvaluator"]
+
+
+class TrustRegionStepEvaluator:
+    """Step-quality evaluation with the non-monotonic acceptance window
+    (reference: ``internal/ceres/trust_region_step_evaluator.cc``)."""
+
+    def __init__(self, initial_cost: float, max_consecutive_nonmonotonic_steps: int):
+        self.max_consecutive_nonmonotonic_steps = max_consecutive_nonmonotonic_steps
+        self.minimum_cost = initial_cost
+        self.current_cost = initial_cost
+        self.reference_cost = initial_cost
+        self.candidate_cost = initial_cost
+        self.accumulated_reference_model_cost_change = 0.0
+        self.accumulated_candidate_model_cost_change = 0.0
+        self.num_consecutive_nonmonotonic_steps = 0
+
+    def step_quality(self, cost: float, model_cost_change: float) -> float:
+        relative_decrease = (self.current_cost - cost) / model_cost_change
+        historical_relative_decrease = (self.reference_cost - cost) / (
+            self.accumulated_reference_model_cost_change + model_cost_change
+        )
+        return max(relative_decrease, historical_relative_decrease)
+
+    def step_accepted(self, cost: float, model_cost_change: float) -> None:
+        self.current_cost = cost
+        self.accumulated_candidate_model_cost_change += model_cost_change
+        self.accumulated_reference_model_cost_change += model_cost_change
+
+        if self.current_cost < self.minimum_cost:
+            self.minimum_cost = self.current_cost
+            self.num_consecutive_nonmonotonic_steps = 0
+            self.candidate_cost = self.current_cost
+            self.accumulated_candidate_model_cost_change = 0.0
+        else:
+            self.num_consecutive_nonmonotonic_steps += 1
+            if self.current_cost > self.candidate_cost:
+                self.candidate_cost = self.current_cost
+                self.accumulated_candidate_model_cost_change = 0.0
+
+        if (
+            self.num_consecutive_nonmonotonic_steps
+            == self.max_consecutive_nonmonotonic_steps
+        ):
+            self.reference_cost = self.candidate_cost
+            self.accumulated_reference_model_cost_change = (
+                self.accumulated_candidate_model_cost_change
+            )
+
+
+class TrustRegionMinimizer:
+    """Host-side driver over jitted device programs.
+
+    Device programs built once per solve:
+      linearize(state)                     -> cost, g, diag, solver_data
+      solve_and_try(state, data, g, diag, scale, radius)
+                                           -> step stats + candidate state/cost
+    """
+
+    def __init__(
+        self,
+        evaluator: Evaluator,
+        options: SolverOptions,
+        summary: Summary,
+        solver_type: LinearSolverType,
+        schur_solver=None,
+    ):
+        self.ev = evaluator
+        self.options = options
+        self.summary = summary
+        self.solver_type = solver_type
+        self.schur_solver = schur_solver
+        self._build_programs()
+
+    # -- device program construction ------------------------------------------
+
+    def _solver_data(self, blocks):
+        """What the damped solve needs, computed once per linearization."""
+        st = self.solver_type
+        if st == LinearSolverType.DENSE_NORMAL_CHOLESKY:
+            return (self.ev.jtj_dense(blocks),)
+        if st == LinearSolverType.DENSE_QR:
+            return self.ev.jacobian_dense(blocks)
+        if st in (LinearSolverType.CGNR,):
+            # keep the corrected blocks resident; matvec re-derives from them
+            return tuple((b.r, b.jac, b.idx) for b in blocks)
+        if st in (LinearSolverType.DENSE_SCHUR, LinearSolverType.ITERATIVE_SCHUR):
+            return self.schur_solver.solver_data(blocks)
+        raise NotImplementedError(st)
+
+    def _solve_damped(self, data, g, diag, radius):
+        """Solve (J^T J + clamp(diag)/radius) dx = -g in *scaled* space."""
+        o = self.options
+        st = self.solver_type
+        mu = 1.0 / radius
+        if st == LinearSolverType.DENSE_NORMAL_CHOLESKY:
+            (jtj,) = data
+            return solve_dense_normal_cholesky(
+                jtj, g, diag, mu, o.min_lm_diagonal, o.max_lm_diagonal
+            )
+        if st == LinearSolverType.DENSE_QR:
+            j_dense, r_dense = data
+            return solve_dense_qr(
+                j_dense, r_dense, diag, mu, o.min_lm_diagonal, o.max_lm_diagonal
+            )
+        if st == LinearSolverType.CGNR:
+            d = lm_diagonal(diag, mu, o.min_lm_diagonal, o.max_lm_diagonal)
+
+            def matvec(v):
+                out = d * v
+                for r, jac, idx in data:
+                    jv = jnp.einsum("bmi,bi->bm", jac, v[idx])
+                    out = out.at[idx].add(jnp.einsum("bmi,bm->bi", jac, jv))
+                return out
+
+            m_inv = 1.0 / jnp.maximum(diag + d, jnp.finfo(g.dtype).tiny)
+            return preconditioned_conjugate_gradients(
+                matvec,
+                -g,
+                lambda v: m_inv * v,
+                o.max_linear_solver_iterations,
+                jnp.asarray(o.eta, dtype=g.dtype),
+                o.min_linear_solver_iterations,
+            )
+        if st in (LinearSolverType.DENSE_SCHUR, LinearSolverType.ITERATIVE_SCHUR):
+            return self.schur_solver.solve_damped(
+                data, g, diag, mu, o.min_lm_diagonal, o.max_lm_diagonal
+            )
+        raise NotImplementedError(st)
+
+    def _jtj_dx(self, data, blocks_free, dx):
+        """(J^T J) dx for the model-cost computation, solver-specific."""
+        st = self.solver_type
+        if st == LinearSolverType.DENSE_NORMAL_CHOLESKY:
+            (jtj,) = data
+            return jtj @ dx
+        if st == LinearSolverType.DENSE_QR:
+            j_dense, _ = data
+            return j_dense.T @ (j_dense @ dx)
+        if st == LinearSolverType.CGNR:
+            out = jnp.zeros_like(dx)
+            for r, jac, idx in data:
+                jv = jnp.einsum("bmi,bi->bm", jac, dx[idx])
+                out = out.at[idx].add(jnp.einsum("bmi,bm->bi", jac, jv))
+            return out
+        if st in (LinearSolverType.DENSE_SCHUR, LinearSolverType.ITERATIVE_SCHUR):
+            return self.schur_solver.jtj_matvec(data, dx)
+        raise NotImplementedError(st)
+
+    def _build_programs(self):
+        ev = self.ev
+        o = self.options
+        dtype = ev.dtype
+
+        def linearize(state):
+            cost, blocks = ev.blocks(state)
+            g, diag = ev.gradient_and_diag(blocks)
+            data = self._solver_data(blocks)
+            # Jacobi column scaling (reference: iteration-zero
+            # jacobian_scaling_ = 1 / (1 + sqrt(squared column norms)))
+            scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
+            g_max_norm = jnp.max(jnp.abs(g)) if ev.num_tangent else jnp.zeros((), dtype)
+            g_norm = jnp.sqrt(jnp.sum(g * g))
+            return cost, g, diag, data, scale, g_max_norm, g_norm
+
+        def solve_and_try(state, data, g, diag, scale, radius):
+            # scaled-space damped solve: J_s = J S  (S = diag(scale))
+            gs = g * scale
+            diag_s = diag * scale * scale
+            data_s = self._scale_data(data, scale)
+            y, lin_iters = self._solve_damped(data_s, gs, diag_s, radius)
+            dx = y * scale
+
+            jtjdx = self._jtj_dx(data, None, dx)
+            model_cost_change = -(jnp.dot(g, dx) + 0.5 * jnp.dot(dx, jtjdx))
+            step_norm = jnp.sqrt(jnp.sum(y * y))  # scaled-space norm (ref param_tol)
+
+            new_state = ev.plus(state, dx)
+            new_state = ev.project_bounds(new_state)
+            new_cost = ev.cost(new_state)
+            x_norm = ev.x_norm(new_state)
+            return (
+                new_state,
+                new_cost,
+                model_cost_change,
+                step_norm,
+                x_norm,
+                lin_iters,
+                dx,
+            )
+
+        self.linearize = jax.jit(linearize)
+        self.solve_and_try = jax.jit(solve_and_try)
+
+    def _scale_data(self, data, scale):
+        """Apply column scaling to the solver data (J -> J S)."""
+        st = self.solver_type
+        if st == LinearSolverType.DENSE_NORMAL_CHOLESKY:
+            (jtj,) = data
+            return (jtj * scale[None, :] * scale[:, None],)
+        if st == LinearSolverType.DENSE_QR:
+            j_dense, r_dense = data
+            return (j_dense * scale[None, :], r_dense)
+        if st == LinearSolverType.CGNR:
+            return tuple((r, jac * scale[idx][:, None, :], idx) for r, jac, idx in data)
+        if st in (LinearSolverType.DENSE_SCHUR, LinearSolverType.ITERATIVE_SCHUR):
+            return self.schur_solver.scale_data(data, scale)
+        raise NotImplementedError(st)
+
+    # -- the outer loop ---------------------------------------------------------
+
+    def minimize(self, state):
+        o = self.options
+        s = self.summary
+        start = time.time()
+
+        radius = float(o.initial_trust_region_radius)
+        decrease_factor = 2.0
+        num_consecutive_invalid_steps = 0
+
+        t0 = time.time()
+        cost, g, diag, data, scale, g_max_norm, g_norm = self.linearize(state)
+        jax.block_until_ready(cost)
+        s.jacobian_evaluation_time_in_seconds += time.time() - t0
+        s.num_jacobian_evaluations += 1
+
+        cost = float(cost)
+        if not np.isfinite(cost):
+            s.termination_type = TerminationType.FAILURE
+            s.message = "Initial cost evaluation produced non-finite values."
+            return state
+        s.initial_cost = cost + s.fixed_cost
+
+        step_evaluator = TrustRegionStepEvaluator(
+            cost,
+            o.max_consecutive_nonmonotonic_steps if o.use_nonmonotonic_steps else 0,
+        )
+
+        it = IterationSummary(
+            iteration=0,
+            cost=cost + s.fixed_cost,
+            gradient_max_norm=float(g_max_norm),
+            gradient_norm=float(g_norm),
+            trust_region_radius=radius,
+            step_is_valid=True,
+            step_is_successful=True,
+            iteration_time_in_seconds=time.time() - start,
+            cumulative_time_in_seconds=time.time() - start,
+        )
+        s.iterations.append(it)
+        self._log_iteration(it)
+
+        if float(g_max_norm) <= o.gradient_tolerance:
+            s.termination_type = TerminationType.CONVERGENCE
+            s.message = (
+                f"Gradient tolerance reached. Gradient max norm: {float(g_max_norm):e}"
+                f" <= {o.gradient_tolerance:e}"
+            )
+            return state
+
+        if self._run_callbacks(it, state):
+            return state
+
+        iteration = 0
+        while True:
+            if iteration >= o.max_num_iterations:
+                s.termination_type = TerminationType.NO_CONVERGENCE
+                s.message = "Maximum number of iterations reached."
+                return state
+            if time.time() - start > o.max_solver_time_in_seconds:
+                s.termination_type = TerminationType.NO_CONVERGENCE
+                s.message = "Maximum solver time reached."
+                return state
+            iteration += 1
+            iter_start = time.time()
+
+            t0 = time.time()
+            radius_dev = jnp.asarray(radius, dtype=self.ev.dtype)
+            (
+                new_state,
+                new_cost,
+                model_cost_change,
+                step_norm,
+                x_norm,
+                lin_iters,
+                dx,
+            ) = self.solve_and_try(state, data, g, diag, scale, radius_dev)
+            new_cost = float(jax.block_until_ready(new_cost))
+            step_solver_time = time.time() - t0
+            s.linear_solver_time_in_seconds += step_solver_time
+            s.num_linear_solves += 1
+            s.num_residual_evaluations += 1
+
+            model_cost_change = float(model_cost_change)
+            step_norm_f = float(step_norm)
+            x_norm_f = float(x_norm)
+
+            step_is_valid = (
+                np.isfinite(new_cost)
+                and np.isfinite(model_cost_change)
+                and np.isfinite(step_norm_f)
+                and model_cost_change > 0.0
+            )
+
+            it = IterationSummary(
+                iteration=iteration,
+                cost=new_cost + s.fixed_cost,
+                step_norm=step_norm_f,
+                trust_region_radius=radius,
+                linear_solver_iterations=int(lin_iters),
+                step_solver_time_in_seconds=step_solver_time,
+                step_is_valid=step_is_valid,
+            )
+
+            if not step_is_valid:
+                num_consecutive_invalid_steps += 1
+                if num_consecutive_invalid_steps >= o.max_num_consecutive_invalid_steps:
+                    s.termination_type = TerminationType.FAILURE
+                    s.message = (
+                        "Number of consecutive invalid steps more than "
+                        f"{o.max_num_consecutive_invalid_steps}"
+                    )
+                    return state
+                # reference semantics: treat as unsuccessful step, shrink region
+                radius = radius / decrease_factor
+                decrease_factor *= 2.0
+                radius = max(radius, o.min_trust_region_radius)
+                it.cost = step_evaluator.current_cost + s.fixed_cost
+                it.step_is_successful = False
+                s.num_unsuccessful_steps += 1
+                it.iteration_time_in_seconds = time.time() - iter_start
+                it.cumulative_time_in_seconds = time.time() - start
+                s.iterations.append(it)
+                self._log_iteration(it)
+                if radius <= o.min_trust_region_radius:
+                    s.termination_type = TerminationType.CONVERGENCE
+                    s.message = "Minimum trust region radius reached."
+                    return state
+                continue
+
+            num_consecutive_invalid_steps = 0
+            current_cost = step_evaluator.current_cost
+            relative_decrease = step_evaluator.step_quality(new_cost, model_cost_change)
+            it.relative_decrease = relative_decrease
+            it.cost_change = current_cost - new_cost
+
+            step_is_successful = relative_decrease > o.min_relative_decrease
+
+            if step_is_successful:
+                # reference radius update:
+                # radius /= max(1/3, 1 - (2q - 1)^3); decrease_factor = 2
+                q = relative_decrease
+                radius = radius / max(1.0 / 3.0, 1.0 - (2.0 * q - 1.0) ** 3)
+                radius = min(radius, o.max_trust_region_radius)
+                decrease_factor = 2.0
+                step_evaluator.step_accepted(new_cost, model_cost_change)
+
+                state = new_state
+                s.num_successful_steps += 1
+
+                t0 = time.time()
+                cost_d, g, diag, data, scale_new, g_max_norm, g_norm = self.linearize(
+                    state
+                )
+                jax.block_until_ready(cost_d)
+                s.jacobian_evaluation_time_in_seconds += time.time() - t0
+                s.num_jacobian_evaluations += 1
+                cost = float(cost_d)
+                if self.options.jacobi_scaling:
+                    # reference keeps iteration-zero scaling; we refresh it each
+                    # accepted step (pure improvement, still recompile-free)
+                    scale = scale_new
+
+                it.gradient_max_norm = float(g_max_norm)
+                it.gradient_norm = float(g_norm)
+                it.step_is_successful = True
+            else:
+                radius = radius / decrease_factor
+                decrease_factor *= 2.0
+                it.step_is_successful = False
+                s.num_unsuccessful_steps += 1
+
+            it.iteration_time_in_seconds = time.time() - iter_start
+            it.cumulative_time_in_seconds = time.time() - start
+            s.iterations.append(it)
+            self._log_iteration(it)
+
+            if self._run_callbacks(it, state):
+                return state
+
+            # -- convergence tests (reference order & formulas) ---------------
+            if step_is_successful:
+                if it.gradient_max_norm <= o.gradient_tolerance:
+                    s.termination_type = TerminationType.CONVERGENCE
+                    s.message = (
+                        f"Gradient tolerance reached. Gradient max norm: "
+                        f"{it.gradient_max_norm:e} <= {o.gradient_tolerance:e}"
+                    )
+                    return state
+                cost_change = abs(it.cost_change)
+                if cost_change <= o.function_tolerance * abs(current_cost):
+                    s.termination_type = TerminationType.CONVERGENCE
+                    s.message = (
+                        f"Function tolerance reached. |cost_change|/cost: "
+                        f"{cost_change / max(abs(current_cost), 1e-300):e} <= "
+                        f"{o.function_tolerance:e}"
+                    )
+                    return state
+            if step_norm_f <= o.parameter_tolerance * (
+                x_norm_f + o.parameter_tolerance
+            ):
+                s.termination_type = TerminationType.CONVERGENCE
+                s.message = (
+                    f"Parameter tolerance reached. Relative step_norm: "
+                    f"{step_norm_f / (x_norm_f + o.parameter_tolerance):e} <= "
+                    f"{o.parameter_tolerance:e}"
+                )
+                return state
+            if radius <= o.min_trust_region_radius:
+                s.termination_type = TerminationType.CONVERGENCE
+                s.message = "Minimum trust region radius reached."
+                return state
+
+    # -- helpers ------------------------------------------------------------------
+
+    def _log_iteration(self, it: IterationSummary):
+        from skeres_tpu.core.types import LoggingType
+
+        if (
+            self.options.logging_type == LoggingType.SILENT
+            or not self.options.minimizer_progress_to_stdout
+        ):
+            return
+        if it.iteration == 0:
+            print(
+                f"{'iter':>4} {'cost':>13} {'cost_change':>12} {'|gradient|':>11}"
+                f" {'|step|':>10} {'tr_ratio':>9} {'tr_radius':>10} {'ls_iter':>8}"
+                f" {'iter_time':>10} {'total_time':>11}"
+            )
+        print(
+            f"{it.iteration:4d} {it.cost:13.6e} {it.cost_change:12.2e}"
+            f" {it.gradient_max_norm:11.2e} {it.step_norm:10.2e}"
+            f" {it.relative_decrease:9.2e} {it.trust_region_radius:10.2e}"
+            f" {it.linear_solver_iterations:8d}"
+            f" {it.iteration_time_in_seconds:10.2e}"
+            f" {it.cumulative_time_in_seconds:11.2e}"
+        )
+
+    def _run_callbacks(self, it: IterationSummary, state) -> bool:
+        """Returns True if the solve should stop (sets termination)."""
+        for cb in self.options.callbacks:
+            ret = cb(it)
+            if ret == CallbackReturnType.SOLVER_ABORT:
+                self.summary.termination_type = TerminationType.USER_FAILURE
+                self.summary.message = "User callback returned SOLVER_ABORT."
+                return True
+            if ret == CallbackReturnType.SOLVER_TERMINATE_SUCCESSFULLY:
+                self.summary.termination_type = TerminationType.USER_SUCCESS
+                self.summary.message = (
+                    "User callback returned SOLVER_TERMINATE_SUCCESSFULLY."
+                )
+                return True
+        return False

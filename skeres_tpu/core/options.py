@@ -1,0 +1,137 @@
+"""Solver options (reference lineage: ``include/ceres/solver.h`` —
+``Solver::Options``). Field names and defaults match the reference exactly
+where a counterpart exists; convergence-parity tests depend on the defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence
+
+from skeres_tpu.core.types import (
+    DoglegType,
+    LinearSolverType,
+    LineSearchDirectionType,
+    LineSearchType,
+    LoggingType,
+    MinimizerType,
+    PreconditionerType,
+    TrustRegionStrategyType,
+)
+
+__all__ = ["SolverOptions"]
+
+
+@dataclasses.dataclass
+class SolverOptions:
+    # -- top-level choices ---------------------------------------------------
+    minimizer_type: MinimizerType = MinimizerType.TRUST_REGION
+    trust_region_strategy_type: TrustRegionStrategyType = (
+        TrustRegionStrategyType.LEVENBERG_MARQUARDT
+    )
+    dogleg_type: DoglegType = DoglegType.TRADITIONAL_DOGLEG
+    linear_solver_type: LinearSolverType = LinearSolverType.DENSE_QR
+    preconditioner_type: PreconditionerType = PreconditionerType.JACOBI
+
+    # -- iteration/time limits ----------------------------------------------
+    max_num_iterations: int = 50
+    max_solver_time_in_seconds: float = 1e6
+
+    # -- trust region --------------------------------------------------------
+    initial_trust_region_radius: float = 1e4
+    max_trust_region_radius: float = 1e16
+    min_trust_region_radius: float = 1e-32
+    min_relative_decrease: float = 1e-3
+    min_lm_diagonal: float = 1e-6
+    max_lm_diagonal: float = 1e32
+    max_num_consecutive_invalid_steps: int = 5
+    use_nonmonotonic_steps: bool = False
+    max_consecutive_nonmonotonic_steps: int = 5
+    jacobi_scaling: bool = True
+
+    # -- convergence tolerances ----------------------------------------------
+    function_tolerance: float = 1e-6
+    gradient_tolerance: float = 1e-10
+    parameter_tolerance: float = 1e-8
+
+    # -- iterative linear solvers ---------------------------------------------
+    min_linear_solver_iterations: int = 0
+    max_linear_solver_iterations: int = 500
+    eta: float = 1e-1
+
+    # -- line search (LINE_SEARCH minimizer) ----------------------------------
+    line_search_direction_type: LineSearchDirectionType = (
+        LineSearchDirectionType.LBFGS
+    )
+    line_search_type: LineSearchType = LineSearchType.WOLFE
+    max_lbfgs_rank: int = 20
+    line_search_sufficient_function_decrease: float = 1e-4
+    line_search_sufficient_curvature_decrease: float = 0.9
+    max_num_line_search_step_size_iterations: int = 20
+    max_num_line_search_direction_restarts: int = 5
+    min_line_search_step_size: float = 1e-9
+
+    # -- gradient checking -----------------------------------------------------
+    check_gradients: bool = False
+    gradient_check_relative_precision: float = 1e-8
+    gradient_check_numeric_derivative_relative_step_size: float = 1e-6
+
+    # -- mixed precision --------------------------------------------------------
+    use_mixed_precision_solves: bool = False
+    max_num_refinement_iterations: int = 0
+
+    # -- inner iterations --------------------------------------------------------
+    use_inner_iterations: bool = False
+
+    # -- logging / callbacks -------------------------------------------------
+    logging_type: LoggingType = LoggingType.PER_MINIMIZER_ITERATION
+    minimizer_progress_to_stdout: bool = False
+    callbacks: Sequence[Callable] = dataclasses.field(default_factory=list)
+    update_state_every_iteration: bool = False
+
+    # -- TPU-specific (no reference counterpart) ------------------------------
+    # dtype for device-side math; None = follow jax x64 config
+    dtype: Any = None
+    # shard residual batches over this mesh axis spec; None = single device
+    mesh: Any = None
+    # chunk size for streamed (scan-accumulated) evaluation; None = no chunking
+    evaluation_chunk_size: Optional[int] = None
+
+    def is_valid(self) -> tuple[bool, str]:
+        """Counterpart of Solver::Options::IsValid."""
+        checks = [
+            (self.max_num_iterations >= 0, "max_num_iterations >= 0"),
+            (self.max_solver_time_in_seconds > 0, "max_solver_time_in_seconds > 0"),
+            (self.function_tolerance >= 0, "function_tolerance >= 0"),
+            (self.gradient_tolerance >= 0, "gradient_tolerance >= 0"),
+            (self.parameter_tolerance >= 0, "parameter_tolerance >= 0"),
+            (
+                self.initial_trust_region_radius > 0,
+                "initial_trust_region_radius > 0",
+            ),
+            (self.max_trust_region_radius > 0, "max_trust_region_radius > 0"),
+            (
+                self.min_trust_region_radius <= self.max_trust_region_radius,
+                "min_trust_region_radius <= max_trust_region_radius",
+            ),
+            (self.min_relative_decrease >= 0, "min_relative_decrease >= 0"),
+            (self.min_lm_diagonal > 0, "min_lm_diagonal > 0"),
+            (self.max_lm_diagonal >= self.min_lm_diagonal,
+             "max_lm_diagonal >= min_lm_diagonal"),
+            (self.max_num_consecutive_invalid_steps >= 0,
+             "max_num_consecutive_invalid_steps >= 0"),
+            (self.eta > 0, "eta > 0"),
+            (self.max_linear_solver_iterations >= 1,
+             "max_linear_solver_iterations >= 1"),
+            (self.min_linear_solver_iterations >= 0,
+             "min_linear_solver_iterations >= 0"),
+            (
+                self.min_linear_solver_iterations
+                <= self.max_linear_solver_iterations,
+                "min_linear_solver_iterations <= max_linear_solver_iterations",
+            ),
+        ]
+        for ok, msg in checks:
+            if not ok:
+                return False, f"invalid SolverOptions: expected {msg}"
+        return True, ""

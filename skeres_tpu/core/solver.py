@@ -1,0 +1,167 @@
+"""``solve(options, problem)`` — the user-facing façade.
+
+TPU-native counterpart of the reference lineage's ``ceres::Solve``
+(``internal/ceres/solver.cc``) and its preprocessors
+(``trust_region_preprocessor.cc``): "preprocessing" here is compiling the
+Problem into a Program (batch grouping + tangent offsets), building the
+Evaluator's jitted device programs, and selecting/validating the linear
+solver; the minimizer then runs as a host loop over those programs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from skeres_tpu.core.evaluator import Evaluator
+from skeres_tpu.core.minimizer import TrustRegionMinimizer
+from skeres_tpu.core.options import SolverOptions
+from skeres_tpu.core.problem import Problem, Program
+from skeres_tpu.core.summary import Summary
+from skeres_tpu.core.types import (
+    LinearSolverType,
+    MinimizerType,
+    TerminationType,
+)
+
+__all__ = ["solve"]
+
+
+def _select_linear_solver(
+    options: SolverOptions, program: Program
+) -> LinearSolverType:
+    """Downgrade/upgrade the linear solver like the reference preprocessor.
+
+    SPARSE_NORMAL_CHOLESKY / SPARSE_SCHUR have no TPU-native general
+    fill-reducing factorization (documented deviation, SURVEY.md §3.6);
+    they route to CGNR / DENSE_SCHUR respectively.
+    """
+    given = options.linear_solver_type
+    if given == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
+        return LinearSolverType.CGNR
+    if given == LinearSolverType.SPARSE_SCHUR:
+        return LinearSolverType.DENSE_SCHUR
+    if given in (LinearSolverType.DENSE_SCHUR, LinearSolverType.ITERATIVE_SCHUR):
+        has_schur = any(g.schur_group == 0 for g in program.groups)
+        if not has_schur:
+            return LinearSolverType.DENSE_NORMAL_CHOLESKY
+    return given
+
+
+def solve(
+    options: SolverOptions,
+    problem: Problem,
+    program: Optional[Program] = None,
+) -> Summary:
+    """Solve the problem; writes the solution back into the problem's
+    parameter arrays and returns a Summary (reference: ``ceres::Solve``)."""
+    summary = Summary()
+    total_start = time.time()
+
+    ok, msg = options.is_valid()
+    if not ok:
+        summary.termination_type = TerminationType.FAILURE
+        summary.message = msg
+        return summary
+
+    # -- preprocess -----------------------------------------------------------
+    t0 = time.time()
+    if program is None:
+        program = problem.compile()
+
+    summary.num_parameter_blocks = program.num_parameter_blocks
+    summary.num_parameters = program.num_parameters
+    summary.num_effective_parameters = program.num_effective_parameters
+    summary.num_residual_blocks = program.num_residual_blocks
+    summary.num_residuals = program.num_residuals
+    summary.num_parameter_blocks_reduced = program.num_parameter_blocks_reduced
+    summary.num_parameters_reduced = program.num_parameters_reduced
+    summary.num_effective_parameters_reduced = (
+        program.num_effective_parameters_reduced
+    )
+    summary.num_residual_blocks_reduced = program.num_residual_blocks
+    summary.num_residuals_reduced = program.num_residuals
+    summary.minimizer_type = options.minimizer_type
+    summary.trust_region_strategy_type = options.trust_region_strategy_type
+    summary.linear_solver_type_given = options.linear_solver_type
+    summary.preconditioner_type_given = options.preconditioner_type
+    summary.preconditioner_type_used = options.preconditioner_type
+    summary.num_devices = len(jax.devices())
+
+    if program.num_residual_blocks == 0 or program.num_tangent == 0:
+        summary.termination_type = TerminationType.CONVERGENCE
+        summary.message = "Problem is empty or all parameter blocks constant."
+        cost = problem.evaluate() if program.num_residual_blocks else 0.0
+        summary.initial_cost = summary.final_cost = cost
+        return summary
+
+    solver_type = _select_linear_solver(options, program)
+    summary.linear_solver_type_used = solver_type
+
+    evaluator = Evaluator(
+        program,
+        dtype=options.dtype,
+        chunk_size=options.evaluation_chunk_size,
+        mesh=options.mesh,
+    )
+    summary.dtype = str(np.dtype(evaluator.dtype))
+
+    schur_solver = None
+    if solver_type in (
+        LinearSolverType.DENSE_SCHUR,
+        LinearSolverType.ITERATIVE_SCHUR,
+    ):
+        from skeres_tpu.core.schur import SchurSolver
+
+        schur_solver = SchurSolver(
+            evaluator,
+            iterative=solver_type == LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner=options.preconditioner_type,
+            max_cg_iterations=options.max_linear_solver_iterations,
+            eta=options.eta,
+        )
+
+    if options.minimizer_type == MinimizerType.LINE_SEARCH:
+        from skeres_tpu.core.line_search import LineSearchMinimizer
+
+        minimizer = LineSearchMinimizer(evaluator, options, summary)
+    else:
+        minimizer = TrustRegionMinimizer(
+            evaluator, options, summary, solver_type, schur_solver=schur_solver
+        )
+
+    if options.check_gradients:
+        from skeres_tpu.core.gradient_checker import check_program_gradients
+
+        ok, msg = check_program_gradients(
+            program,
+            evaluator,
+            relative_precision=options.gradient_check_relative_precision,
+            step_size=(
+                options.gradient_check_numeric_derivative_relative_step_size
+            ),
+        )
+        if not ok:
+            summary.termination_type = TerminationType.FAILURE
+            summary.message = f"Gradient check failed: {msg}"
+            return summary
+
+    state = program.initial_state(evaluator.dtype)
+    summary.preprocessor_time_in_seconds = time.time() - t0
+
+    # -- minimize ---------------------------------------------------------------
+    t0 = time.time()
+    state = minimizer.minimize(state)
+    summary.minimizer_time_in_seconds = time.time() - t0
+
+    # -- postprocess -------------------------------------------------------------
+    t0 = time.time()
+    program.write_back(state)
+    if summary.iterations:
+        summary.final_cost = min(it.cost for it in summary.iterations)
+    summary.postprocessor_time_in_seconds = time.time() - t0
+    summary.total_time_in_seconds = time.time() - total_start
+    return summary

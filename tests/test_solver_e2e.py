@@ -1,0 +1,199 @@
+"""End-to-end solver tests: the config-1 acceptance workloads
+(reference lineage: ``examples/powell.cc``, ``examples/curve_fitting.cc``,
+``examples/robust_curve_fitting.cc``, ``internal/ceres/system_test.cc``).
+
+Oracle values (SURVEY.md §7): Powell converges to cost -> 0 (x -> 0);
+curve fitting is checked against a scipy.optimize.least_squares oracle run
+on identical data (no memorized numbers).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import skeres_tpu as st
+from skeres_tpu.core.options import SolverOptions
+from skeres_tpu.core.types import LinearSolverType, TerminationType
+
+
+def _solve_powell(linear_solver, **kw):
+    problem = st.Problem()
+    x1 = problem.add_parameter_block([3.0])
+    x2 = problem.add_parameter_block([-1.0])
+    x3 = problem.add_parameter_block([0.0])
+    x4 = problem.add_parameter_block([1.0])
+
+    def f1(params, data):
+        (a, b) = params
+        return a + 10.0 * b
+
+    def f2(params, data):
+        (a, b) = params
+        return jnp.sqrt(5.0) * (a - b)
+
+    def f3(params, data):
+        (a, b) = params
+        return (a - 2.0 * b) ** 2
+
+    def f4(params, data):
+        (a, b) = params
+        return jnp.sqrt(10.0) * (a - b) ** 2
+
+    problem.add_residual_block(f1, None, [x1, x2])
+    problem.add_residual_block(f2, None, [x3, x4])
+    problem.add_residual_block(f3, None, [x2, x3])
+    problem.add_residual_block(f4, None, [x1, x4])
+
+    options = SolverOptions(
+        linear_solver_type=linear_solver,
+        max_num_iterations=100,
+        **kw,
+    )
+    summary = st.solve(options, problem)
+    return problem, summary, (x1, x2, x3, x4)
+
+
+@pytest.mark.parametrize(
+    "linear_solver",
+    [
+        LinearSolverType.DENSE_QR,
+        LinearSolverType.DENSE_NORMAL_CHOLESKY,
+        LinearSolverType.CGNR,
+    ],
+)
+def test_powell(linear_solver):
+    problem, summary, xs = _solve_powell(linear_solver)
+    assert summary.termination_type == TerminationType.CONVERGENCE, summary.message
+    assert summary.final_cost < 1e-10
+    for x in xs:
+        assert abs(float(x.value[0])) < 2e-2
+
+
+def test_powell_report():
+    problem, summary, xs = _solve_powell(LinearSolverType.DENSE_QR)
+    report = summary.full_report()
+    assert "Parameter blocks" in report
+    assert "CONVERGENCE" in report
+    assert "Final cost" in summary.brief_report()
+
+
+def _curve_data(outliers=False):
+    rng = np.random.default_rng(1234)
+    x = np.linspace(0.0, 5.0, 67)
+    y = np.exp(0.3 * x + 0.1) + rng.normal(0.0, 0.2, size=x.shape)
+    if outliers:
+        y = y.copy()
+        y[::9] += 10.0
+    return x, y
+
+
+def exponential_residual(params, data):
+    (p,) = params
+    return data[1:2] - jnp.exp(p[0] * data[0] + p[1])
+
+
+def _build_curve_problem(x, y, loss=None):
+    problem = st.Problem()
+    mc = problem.add_parameter_block([0.0, 0.0])
+    problem.add_residual_blocks(
+        exponential_residual,
+        loss,
+        [(mc.array, np.zeros(len(x), dtype=np.int32))],
+        data=np.stack([x, y], axis=1),
+        name="expfit",
+    )
+    return problem, mc
+
+
+def test_curve_fitting_matches_scipy_oracle():
+    from scipy.optimize import least_squares
+
+    x, y = _curve_data()
+    problem, mc = _build_curve_problem(x, y)
+    options = SolverOptions(
+        linear_solver_type=LinearSolverType.DENSE_QR, max_num_iterations=100
+    )
+    summary = st.solve(options, problem)
+    assert summary.termination_type == TerminationType.CONVERGENCE, summary.message
+
+    oracle = least_squares(
+        lambda p: y - np.exp(p[0] * x + p[1]),
+        x0=[0.0, 0.0],
+        xtol=1e-12,
+        ftol=1e-12,
+        gtol=1e-12,
+    )
+    m, c = mc.value
+    np.testing.assert_allclose([m, c], oracle.x, atol=1e-5)
+    np.testing.assert_allclose(summary.final_cost, oracle.cost, rtol=1e-8)
+    # standard Ceres tutorial ballpark: m ~ 0.2916, c ~ 0.1314 with their seed
+    assert abs(m - 0.3) < 0.1 and abs(c - 0.1) < 0.2
+
+
+def test_robust_curve_fitting_cauchy():
+    x, y = _curve_data(outliers=True)
+    problem, mc = _build_curve_problem(x, y, loss=st.CauchyLoss(0.5))
+    options = SolverOptions(
+        linear_solver_type=LinearSolverType.DENSE_QR, max_num_iterations=200
+    )
+    summary = st.solve(options, problem)
+    assert summary.termination_type == TerminationType.CONVERGENCE, summary.message
+    m, c = mc.value
+    # robust fit should stay near the ground truth despite outliers
+    assert abs(m - 0.3) < 0.1
+    assert abs(c - 0.1) < 0.35
+
+
+def test_constant_parameter_block():
+    """Holding a block constant keeps it fixed and still converges."""
+    problem = st.Problem()
+    a = problem.add_parameter_block([2.0])
+    b = problem.add_parameter_block([5.0])
+    problem.set_parameter_block_constant(a)
+
+    def resid(params, data):
+        (pa, pb) = params
+        return jnp.concatenate([pa - 1.0, pb - 3.0])
+
+    problem.add_residual_block(resid, None, [a, b])
+    summary = st.solve(SolverOptions(max_num_iterations=50), problem)
+    assert summary.termination_type == TerminationType.CONVERGENCE
+    assert float(a.value[0]) == 2.0  # untouched
+    np.testing.assert_allclose(float(b.value[0]), 3.0, atol=1e-8)
+    # fixed residual (a - 1) = 1 remains: final cost = 0.5
+    np.testing.assert_allclose(summary.final_cost, 0.5, atol=1e-8)
+
+
+def test_bounds_projection():
+    """Upper/lower bounds clamp the iterates (projected steps)."""
+    problem = st.Problem()
+    p = problem.add_parameter_block([5.0])
+    problem.set_parameter_lower_bound(p, 0, 2.0)
+
+    def resid(params, data):
+        (x,) = params
+        return x  # pulls x toward 0, bound stops it at 2
+
+    problem.add_residual_block(resid, None, [p])
+    summary = st.solve(SolverOptions(max_num_iterations=60), problem)
+    assert float(p.value[0]) >= 2.0 - 1e-12
+    np.testing.assert_allclose(float(p.value[0]), 2.0, atol=1e-6)
+
+
+def test_callbacks_and_abort():
+    from skeres_tpu.core.types import CallbackReturnType
+
+    problem, mc = _build_curve_problem(*_curve_data())
+    seen = []
+
+    def cb(it):
+        seen.append(it.iteration)
+        if it.iteration >= 2:
+            return CallbackReturnType.SOLVER_ABORT
+        return CallbackReturnType.SOLVER_CONTINUE
+
+    summary = st.solve(
+        SolverOptions(max_num_iterations=100, callbacks=[cb]), problem
+    )
+    assert summary.termination_type == TerminationType.USER_FAILURE
+    assert max(seen) == 2
