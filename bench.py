@@ -1,0 +1,255 @@
+#!/usr/bin/env python
+"""Headline benchmark: LM-iteration throughput on BAL bundle adjustment.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (BASELINE.md config 4): BAL ladybug/problem-49 if staged under
+``data/``, else a synthetic BAL scene at the same scale (49 cameras,
+7776 points, ~31k observations) with the identical Snavely camera model.
+
+Baseline: the reference lineage publishes no numbers (BASELINE.md), so the
+baseline is *measured*: scipy ``least_squares`` (TRF + sparse LSMR) on the
+same problem on CPU — a weak stand-in for a Ceres CPU solve, clearly
+labeled. The measurement is cached in ``BASELINE_MEASURED.json`` so the
+slow CPU run happens once.
+
+Metric: LM steps (accepted + rejected) per second of minimizer wall time,
+excluding compilation (a warm-up solve populates the jit cache first).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
+
+NUM_CAMERAS = 49
+NUM_POINTS = 7776
+OBS_PER_POINT = 4
+BENCH_ITERS = 30
+
+
+def _find_bal_file():
+    data = os.path.join(REPO, "data")
+    if not os.path.isdir(data):
+        return None
+    for name in sorted(os.listdir(data)):
+        if "problem-49" in name and (
+            name.endswith(".txt") or name.endswith(".bz2") or name.endswith(".gz")
+        ):
+            return os.path.join(data, name)
+    return None
+
+
+def _load_workload():
+    from skeres_tpu.io.bal import load_bal, synthetic_bal
+
+    path = _find_bal_file()
+    if path is not None:
+        bal = load_bal(path)
+        bal.normalize()
+        bal.perturb(rotation_sigma=0.0, translation_sigma=0.0, point_sigma=0.0)
+        label = os.path.basename(path)
+    else:
+        bal = synthetic_bal(
+            num_cameras=NUM_CAMERAS,
+            num_points=NUM_POINTS,
+            observations_per_point=OBS_PER_POINT,
+        )
+        label = f"synthetic-bal-{NUM_CAMERAS}-{NUM_POINTS}"
+    return bal, label
+
+
+# -- our solver ----------------------------------------------------------------
+
+
+def run_tpu_solver(bal, max_iters=BENCH_ITERS, warmup=True):
+    import skeres_tpu as st
+    from skeres_tpu.core.options import SolverOptions
+    from skeres_tpu.core.types import LinearSolverType
+    from skeres_tpu.io.bal import build_bal_problem
+
+    def solve(n_iters):
+        problem, _, _ = build_bal_problem(bal)
+        options = SolverOptions(
+            linear_solver_type=LinearSolverType.DENSE_SCHUR,
+            max_num_iterations=n_iters,
+            # whole-solve on-device loop: one dispatch per chunk, not per
+            # iteration (critical over a network-attached chip)
+            use_device_loop=True,
+            device_loop_chunk_iterations=n_iters,
+            # throughput benchmark: run the full iteration budget
+            function_tolerance=0.0,
+            gradient_tolerance=0.0,
+            parameter_tolerance=0.0,
+        )
+        return st.solve(options, problem)
+
+    if warmup:
+        solve(2)  # populate the jit cache; discarded
+    summary = solve(max_iters)
+    steps = summary.num_successful_steps + summary.num_unsuccessful_steps
+    secs = summary.minimizer_time_in_seconds
+    return {
+        "steps": int(steps),
+        "seconds": float(secs),
+        "steps_per_sec": float(steps / secs),
+        "initial_cost": float(summary.initial_cost),
+        "final_cost": float(summary.final_cost),
+    }
+
+
+# -- scipy CPU baseline (weak stand-in for reference CPU; see BASELINE.md) -----
+
+
+def _np_rotate(aa, pts):
+    """Vectorized Rodrigues rotation: aa (n,3) angle-axis, pts (n,3)."""
+    theta2 = np.sum(aa * aa, axis=1, keepdims=True)
+    theta = np.sqrt(np.maximum(theta2, 1e-32))
+    small = theta2 < 1e-16
+    k = aa / np.where(small, 1.0, theta)
+    ct = np.cos(theta)
+    st = np.sin(theta)
+    kxp = np.cross(k, pts)
+    kdp = np.sum(k * pts, axis=1, keepdims=True)
+    rotated = pts * ct + kxp * st + k * kdp * (1.0 - ct)
+    return np.where(small, pts + np.cross(aa, pts), rotated)
+
+
+def _np_residuals(x, bal):
+    nc = bal.num_cameras
+    cams = x[: 9 * nc].reshape(nc, 9)
+    pts = x[9 * nc :].reshape(-1, 3)
+    c = cams[bal.camera_index]
+    p = pts[bal.point_index]
+    pc = _np_rotate(c[:, 0:3], p) + c[:, 3:6]
+    xp = -pc[:, 0] / pc[:, 2]
+    yp = -pc[:, 1] / pc[:, 2]
+    r2 = xp * xp + yp * yp
+    dist = 1.0 + r2 * (c[:, 7] + c[:, 8] * r2)
+    f = c[:, 6]
+    res = np.stack(
+        [f * dist * xp - bal.observations[:, 0], f * dist * yp - bal.observations[:, 1]],
+        axis=1,
+    )
+    return res.ravel()
+
+
+def _jac_sparsity(bal):
+    from scipy.sparse import coo_matrix
+
+    nobs = bal.num_observations
+    nc = bal.num_cameras
+    cam_cols = 9 * bal.camera_index[:, None] + np.arange(9)[None, :]
+    pt_cols = 9 * nc + 3 * bal.point_index[:, None] + np.arange(3)[None, :]
+    block_cols = np.concatenate([cam_cols, pt_cols], axis=1)  # (nobs, 12)
+    # each of the 2 residual rows of an observation touches all 12 cols
+    rows = np.repeat(np.arange(2 * nobs).reshape(nobs, 2), 12, axis=1).reshape(-1)
+    cols = np.tile(block_cols[:, None, :], (1, 2, 1)).reshape(-1)
+    data = np.ones_like(rows, dtype=np.int8)
+    n = 9 * nc + 3 * bal.num_points
+    return coo_matrix((data, (rows, cols)), shape=(2 * nobs, n)).tocsr()
+
+
+def measure_scipy_baseline(bal, max_time=300.0):
+    """Measure LM-ish iterations/sec of scipy TRF on CPU (cached)."""
+    from scipy.optimize import least_squares
+
+    x0 = np.concatenate([bal.cameras.ravel(), bal.points.ravel()])
+    sp = _jac_sparsity(bal)
+
+    t0 = time.time()
+    result = least_squares(
+        _np_residuals,
+        x0,
+        jac_sparsity=sp,
+        method="trf",
+        tr_solver="lsmr",
+        max_nfev=60,
+        verbose=0,
+        args=(bal,),
+    )
+    secs = time.time() - t0
+    # scipy TRF: one Jacobian (njev) per outer iteration
+    iters = max(int(result.njev), 1)
+    return {
+        "solver": "scipy.least_squares(trf,lsmr) [weak CPU stand-in]",
+        "iterations": iters,
+        "seconds": float(secs),
+        "steps_per_sec": float(iters / secs),
+        "final_cost": float(result.cost),
+    }
+
+
+def get_baseline(bal, label):
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cached = json.load(f)
+        if cached.get("workload") == label:
+            return cached
+    base = measure_scipy_baseline(bal)
+    base["workload"] = label
+    with open(CACHE, "w") as f:
+        json.dump(base, f, indent=1)
+    return base
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num_cameras", type=int, default=None)
+    ap.add_argument("--num_points", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=BENCH_ITERS)
+    ap.add_argument("--skip_baseline", action="store_true")
+    args = ap.parse_args()
+
+    global NUM_CAMERAS, NUM_POINTS
+    if args.num_cameras:
+        NUM_CAMERAS = args.num_cameras
+    if args.num_points:
+        NUM_POINTS = args.num_points
+
+    bal, label = _load_workload()
+
+    ours = run_tpu_solver(bal, max_iters=args.iters)
+    try:
+        if args.skip_baseline:
+            raise RuntimeError("baseline skipped")
+        baseline = get_baseline(bal, label)
+        vs = ours["steps_per_sec"] / baseline["steps_per_sec"]
+    except Exception:
+        baseline = None
+        vs = float("nan")
+
+    import jax
+
+    out = {
+        "metric": f"lm_steps_per_sec[{label}]",
+        "value": round(ours["steps_per_sec"], 3),
+        "unit": "iter/s",
+        "vs_baseline": round(vs, 3) if np.isfinite(vs) else None,
+        "extra": {
+            "backend": jax.default_backend(),
+            "initial_cost": ours["initial_cost"],
+            "final_cost": ours["final_cost"],
+            "steps": ours["steps"],
+            "baseline": None
+            if baseline is None
+            else {
+                "solver": baseline["solver"],
+                "steps_per_sec": baseline["steps_per_sec"],
+            },
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,390 @@
+"""Whole-solve on-device trust-region loop.
+
+The host-loop minimizer (``minimizer.py``) crosses host<->device once per
+iteration — cheap on a local chip, dominant over a network-attached TPU and
+still measurable at scale. This module compiles the ENTIRE LM loop into one
+XLA program (``lax.while_loop``): trust-region scalar control (radius,
+step quality, convergence tests — the reference's exact formulas from
+``trust_region_minimizer.cc`` / ``levenberg_marquardt_strategy.cc``) runs
+on-device, re-linearization happens under ``lax.cond`` only on accepted
+steps, and the host sees one dispatch per *chunk* of iterations.
+
+This is a deliberate architectural departure from the reference (which
+cannot express this: its loop calls virtual C++ methods); SURVEY.md §4.2
+flags it as the phase-2+ optimization. Per-iteration history (cost,
+radius, step norms, acceptance) is recorded into fixed-size device arrays
+so the host can still reconstruct Ceres-style IterationSummary rows.
+
+Limitations vs the host loop (documented): LEVENBERG_MARQUARDT only,
+monotonic steps only, no user callbacks inside a chunk, no checkpointing
+inside a chunk. ``solve()`` picks this loop when
+``options.use_device_loop`` is set; everything else falls back to the
+host loop.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skeres_tpu.core.minimizer import TrustRegionMinimizer
+from skeres_tpu.core.summary import IterationSummary
+from skeres_tpu.core.types import TerminationType, TrustRegionStrategyType
+
+__all__ = ["DeviceLoopMinimizer"]
+
+# termination codes inside the device program
+_RUNNING = 0
+_CONV_GRADIENT = 1
+_CONV_FUNCTION = 2
+_CONV_PARAMETER = 3
+_CONV_RADIUS = 4
+_FAIL_INVALID = 5
+
+
+class DeviceLoopMinimizer(TrustRegionMinimizer):
+    """TrustRegionMinimizer whose minimize() runs chunks of the LM loop
+    fully on device."""
+
+    def __init__(self, *args, chunk_iterations: int = 25, **kwargs):
+        super().__init__(*args, **kwargs)
+        if (
+            self.options.trust_region_strategy_type
+            != TrustRegionStrategyType.LEVENBERG_MARQUARDT
+        ):
+            raise NotImplementedError(
+                "device loop supports LEVENBERG_MARQUARDT only"
+            )
+        self.chunk_iterations = int(chunk_iterations)
+        self._build_device_loop()
+
+    def _linearize_parts(self, state):
+        ev = self.ev
+        cost, blocks = ev.blocks(state)
+        g, diag = ev.gradient_and_diag(blocks)
+        data = self._solver_data(blocks)
+        scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
+        return cost, g, diag, data, scale
+
+    def _build_device_loop(self):
+        ev = self.ev
+        o = self.options
+        dtype = ev.dtype
+        K = self.chunk_iterations
+
+        min_radius = jnp.asarray(o.min_trust_region_radius, dtype)
+        max_radius = jnp.asarray(o.max_trust_region_radius, dtype)
+        min_rel_decrease = jnp.asarray(o.min_relative_decrease, dtype)
+        ftol = jnp.asarray(o.function_tolerance, dtype)
+        gtol = jnp.asarray(o.gradient_tolerance, dtype)
+        ptol = jnp.asarray(o.parameter_tolerance, dtype)
+        max_invalid = o.max_num_consecutive_invalid_steps
+
+        def body(carry):
+            (
+                state,
+                cost,
+                g,
+                diag,
+            # solver data & scaling from the last accepted linearization
+                data,
+                scale,
+                radius,
+                decrease_factor,
+                it,
+                term,
+                n_succ,
+                n_unsucc,
+                n_invalid,
+                hist,
+            ) = carry
+
+            # -- damped solve + candidate ---------------------------------
+            gs = g * scale
+            diag_s = diag * scale * scale
+            data_s = self._scale_data(data, scale)
+            y, lin_iters = self._solve_damped(data_s, gs, diag_s, radius)
+            dx = y * scale
+
+            jtjdx = self._jtj_dx(data, None, dx)
+            model_cost_change = -(jnp.dot(g, dx) + 0.5 * jnp.dot(dx, jtjdx))
+            step_norm = jnp.sqrt(jnp.sum(y * y))
+
+            cand = ev.plus(state, dx)
+            cand = ev.project_bounds(cand)
+            new_cost = ev.cost(cand)
+            x_norm = ev.x_norm(cand)
+
+            step_is_valid = (
+                jnp.isfinite(new_cost)
+                & jnp.isfinite(model_cost_change)
+                & jnp.isfinite(step_norm)
+                & (model_cost_change > 0.0)
+            )
+            relative_decrease = jnp.where(
+                step_is_valid,
+                (cost - new_cost)
+                / jnp.where(
+                    model_cost_change > 0.0, model_cost_change, jnp.ones_like(cost)
+                ),
+                jnp.zeros_like(cost),
+            )
+            accepted = step_is_valid & (relative_decrease > min_rel_decrease)
+
+            # -- radius update (reference formulas) -----------------------
+            q = relative_decrease
+            grow = radius / jnp.maximum(
+                1.0 / 3.0, 1.0 - (2.0 * q - 1.0) ** 3
+            )
+            radius_acc = jnp.minimum(grow, max_radius)
+            radius_rej = jnp.maximum(radius / decrease_factor, min_radius)
+            new_radius = jnp.where(accepted, radius_acc, radius_rej)
+            new_decrease = jnp.where(accepted, 2.0, decrease_factor * 2.0)
+
+            n_invalid = jnp.where(
+                step_is_valid, 0, n_invalid + 1
+            )
+
+            # -- accept: state update + relinearize under cond -------------
+            def relinearize(_):
+                c2, g2, d2, data2, s2 = self._linearize_parts(cand)
+                return cand, c2, g2, d2, data2, s2
+
+            def keep(_):
+                return state, cost, g, diag, data, scale
+
+            state2, cost2, g2, diag2, data2, scale2 = jax.lax.cond(
+                accepted, relinearize, keep, operand=None
+            )
+            if not o.jacobi_scaling:
+                scale2 = scale
+
+            # -- convergence tests ----------------------------------------
+            g_max = jnp.max(jnp.abs(g2))
+            cost_change = jnp.abs(cost - new_cost)
+            term2 = jnp.where(
+                (term == _RUNNING) & accepted & (g_max <= gtol),
+                _CONV_GRADIENT,
+                term,
+            )
+            term2 = jnp.where(
+                (term2 == _RUNNING)
+                & accepted
+                & (cost_change <= ftol * jnp.abs(cost)),
+                _CONV_FUNCTION,
+                term2,
+            )
+            term2 = jnp.where(
+                (term2 == _RUNNING)
+                & (step_norm <= ptol * (x_norm + ptol)),
+                _CONV_PARAMETER,
+                term2,
+            )
+            term2 = jnp.where(
+                (term2 == _RUNNING) & (new_radius <= min_radius),
+                _CONV_RADIUS,
+                term2,
+            )
+            term2 = jnp.where(
+                (term2 == _RUNNING) & (n_invalid >= max_invalid),
+                _FAIL_INVALID,
+                term2,
+            )
+
+            # -- history --------------------------------------------------
+            hist_cost, hist_radius, hist_step, hist_gmax, hist_rd, hist_acc, hist_li = hist
+            hist = (
+                hist_cost.at[it].set(jnp.where(accepted, new_cost, cost)),
+                hist_radius.at[it].set(radius),
+                hist_step.at[it].set(step_norm),
+                hist_gmax.at[it].set(g_max),
+                hist_rd.at[it].set(relative_decrease),
+                hist_acc.at[it].set(accepted),
+                hist_li.at[it].set(lin_iters),
+            )
+
+            return (
+                state2,
+                cost2,
+                g2,
+                diag2,
+                data2,
+                scale2,
+                new_radius,
+                new_decrease,
+                it + 1,
+                term2,
+                n_succ + jnp.where(accepted, 1, 0),
+                n_unsucc + jnp.where(accepted, 0, 1),
+                n_invalid,
+                hist,
+            )
+
+        def cond(carry):
+            it, term = carry[8], carry[9]
+            return (it < K) & (term == _RUNNING)
+
+        def run_chunk(state, cost, g, diag, data, scale, radius, decrease_factor):
+            hist = (
+                jnp.full((K,), jnp.nan, dtype),
+                jnp.full((K,), jnp.nan, dtype),
+                jnp.full((K,), jnp.nan, dtype),
+                jnp.full((K,), jnp.nan, dtype),
+                jnp.full((K,), jnp.nan, dtype),
+                jnp.zeros((K,), jnp.bool_),
+                jnp.zeros((K,), jnp.int32),
+            )
+            carry = (
+                state,
+                cost,
+                g,
+                diag,
+                data,
+                scale,
+                radius,
+                decrease_factor,
+                jnp.zeros((), jnp.int32),
+                jnp.asarray(_RUNNING, jnp.int32),
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((), jnp.int32),
+                hist,
+            )
+            return jax.lax.while_loop(cond, body, carry)
+
+        def first_linearize(state):
+            cost, g, diag, data, scale = self._linearize_parts(state)
+            g_max = jnp.max(jnp.abs(g))
+            return cost, g, diag, data, scale, g_max
+
+        self._first_linearize = jax.jit(first_linearize)
+        self._run_chunk = jax.jit(run_chunk)
+
+    # -- host driver ------------------------------------------------------
+
+    def minimize(self, state):
+        o = self.options
+        s = self.summary
+        start = time.time()
+        dtype = self.ev.dtype
+
+        cost, g, diag, data, scale, g_max = self._first_linearize(state)
+        cost_f = float(jax.block_until_ready(cost))
+        s.num_jacobian_evaluations += 1
+        if not np.isfinite(cost_f):
+            s.termination_type = TerminationType.FAILURE
+            s.message = "Initial cost evaluation produced non-finite values."
+            return state
+        s.initial_cost = cost_f + s.fixed_cost
+        s.iterations.append(
+            IterationSummary(
+                iteration=0,
+                cost=cost_f + s.fixed_cost,
+                gradient_max_norm=float(g_max),
+                trust_region_radius=float(o.initial_trust_region_radius),
+                step_is_valid=True,
+                step_is_successful=True,
+            )
+        )
+        if float(g_max) <= o.gradient_tolerance:
+            s.termination_type = TerminationType.CONVERGENCE
+            s.message = "Gradient tolerance reached."
+            return state
+
+        radius = jnp.asarray(
+            self.initial_radius_override
+            if self.initial_radius_override is not None
+            else o.initial_trust_region_radius,
+            dtype,
+        )
+        decrease_factor = jnp.asarray(2.0, dtype)
+
+        it_total = 0
+        term_code = _RUNNING
+        while it_total < o.max_num_iterations:
+            if time.time() - start > o.max_solver_time_in_seconds:
+                s.termination_type = TerminationType.NO_CONVERGENCE
+                s.message = "Maximum solver time reached."
+                return state
+            carry = self._run_chunk(
+                state, cost, g, diag, data, scale, radius, decrease_factor
+            )
+            (
+                state,
+                cost,
+                g,
+                diag,
+                data,
+                scale,
+                radius,
+                decrease_factor,
+                it_chunk,
+                term,
+                n_succ,
+                n_unsucc,
+                _n_invalid,
+                hist,
+            ) = carry
+            it_chunk = int(jax.block_until_ready(it_chunk))
+            term_code = int(term)
+            s.num_successful_steps += int(n_succ)
+            s.num_unsuccessful_steps += int(n_unsucc)
+            s.num_linear_solves += it_chunk
+            s.num_jacobian_evaluations += int(n_succ)
+            s.num_residual_evaluations += it_chunk
+
+            h_cost, h_radius, h_step, h_gmax, h_rd, h_acc, h_li = [
+                np.asarray(h) for h in hist
+            ]
+            now = time.time() - start
+            for k in range(it_chunk):
+                it_total += 1
+                s.iterations.append(
+                    IterationSummary(
+                        iteration=it_total,
+                        cost=float(h_cost[k]) + s.fixed_cost,
+                        gradient_max_norm=float(h_gmax[k]),
+                        step_norm=float(h_step[k]),
+                        relative_decrease=float(h_rd[k]),
+                        trust_region_radius=float(h_radius[k]),
+                        linear_solver_iterations=int(h_li[k]),
+                        step_is_valid=True,
+                        step_is_successful=bool(h_acc[k]),
+                        cumulative_time_in_seconds=now,
+                    )
+                )
+            if term_code != _RUNNING:
+                break
+
+        messages = {
+            _RUNNING: (
+                TerminationType.NO_CONVERGENCE,
+                "Maximum number of iterations reached.",
+            ),
+            _CONV_GRADIENT: (
+                TerminationType.CONVERGENCE,
+                "Gradient tolerance reached.",
+            ),
+            _CONV_FUNCTION: (
+                TerminationType.CONVERGENCE,
+                "Function tolerance reached.",
+            ),
+            _CONV_PARAMETER: (
+                TerminationType.CONVERGENCE,
+                "Parameter tolerance reached.",
+            ),
+            _CONV_RADIUS: (
+                TerminationType.CONVERGENCE,
+                "Minimum trust region radius reached.",
+            ),
+            _FAIL_INVALID: (
+                TerminationType.FAILURE,
+                "Number of consecutive invalid steps exceeded the limit.",
+            ),
+        }
+        s.termination_type, s.message = messages[term_code]
+        return state

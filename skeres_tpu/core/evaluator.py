@@ -37,12 +37,20 @@ def default_dtype():
 
 class BatchBlocks:
     """Device-side view of one batch's Jacobian blocks: the TPU counterpart
-    of a row-slice of the reference's BlockSparseMatrix."""
+    of a row-slice of the reference's BlockSparseMatrix. Registered as a
+    pytree so it crosses jit boundaries."""
 
     def __init__(self, r, jac, idx):
         self.r = r  # (B, m) corrected residuals
         self.jac = jac  # (B, m, T) corrected tangent Jacobian blocks
         self.idx = idx  # (B, T) global tangent indices
+
+
+jax.tree_util.register_pytree_node(
+    BatchBlocks,
+    lambda b: ((b.r, b.jac, b.idx), None),
+    lambda aux, children: BatchBlocks(*children),
+)
 
 
 class Evaluator:
@@ -61,31 +69,83 @@ class Evaluator:
         self.mesh = mesh  # jax.sharding.Mesh for residual-block sharding
         self.num_tangent = program.num_tangent
 
-        # device constants per batch
+        # sharding setup: residual batches are data-parallel over the mesh's
+        # 'obs' axis (SPMD; XLA inserts the psum for the scatter-adds into
+        # replicated outputs — SURVEY.md §3.8: DP over residual blocks is
+        # the only parallelism axis in this workload)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = mesh.axis_names[0]
+            self._n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            self._obs_sharding = lambda ndim: NamedSharding(
+                mesh, PartitionSpec(axis, *([None] * (ndim - 1)))
+            )
+            self._replicated = NamedSharding(mesh, PartitionSpec())
+        else:
+            self._n_shards = 1
+            self._obs_sharding = None
+            self._replicated = None
+
+        def place_obs(a):
+            if self._obs_sharding is None:
+                return a
+            return jax.device_put(a, self._obs_sharding(a.ndim))
+
+        # device constants per batch (padded to a multiple of the shard
+        # count when sharded; `weight` zeroes padded rows' contributions)
         self._batch_const = []
         for b in program.batches:
+            B = b.num_blocks
+            pad = (-B) % self._n_shards
+            weight_np = np.concatenate(
+                [np.ones(B), np.zeros(pad)]
+            )
+
+            def pad_rows(a):
+                a = np.asarray(a)
+                if pad == 0:
+                    return a
+                fill = np.repeat(a[:1], pad, axis=0)
+                return np.concatenate([a, fill], axis=0)
+
             data = (
                 None
                 if b.data is None
                 else jax.tree_util.tree_map(
-                    lambda a: jnp.asarray(
-                        a,
-                        dtype=self.dtype
-                        if np.issubdtype(np.asarray(a).dtype, np.floating)
-                        else None,
+                    lambda a: place_obs(
+                        jnp.asarray(
+                            pad_rows(a),
+                            dtype=self.dtype
+                            if np.issubdtype(np.asarray(a).dtype, np.floating)
+                            else None,
+                        )
                     ),
                     b.data,
                 )
             )
-            idx = tuple(jnp.asarray(ix) for ix in b.slot_indices)
-            tidx = jnp.asarray(b.tangent_index)
-            # free-coordinate mask gathered per block (B, T)
-            mask = jnp.asarray(
-                program.free_mask[b.tangent_index], dtype=self.dtype
+            idx = tuple(
+                place_obs(jnp.asarray(pad_rows(ix))) for ix in b.slot_indices
             )
-            self._batch_const.append((data, idx, tidx, mask))
+            tidx = place_obs(jnp.asarray(pad_rows(b.tangent_index)))
+            # free-coordinate mask gathered per block (B, T)
+            mask = place_obs(
+                jnp.asarray(
+                    pad_rows(program.free_mask[b.tangent_index]), dtype=self.dtype
+                )
+            )
+            weight = place_obs(jnp.asarray(weight_np, dtype=self.dtype))
+            self._batch_const.append((data, idx, tidx, mask, weight))
 
         self._free_mask = jnp.asarray(program.free_mask, dtype=self.dtype)
+        if self._replicated is not None:
+            self._free_mask = jax.device_put(self._free_mask, self._replicated)
+
+    def prepare_state(self, state):
+        """Place the state pytree (replicated) for the evaluator's mesh."""
+        if self._replicated is None:
+            return state
+        return jax.device_put(state, self._replicated)
 
     # -- core batched eval -----------------------------------------------------
 
@@ -103,7 +163,7 @@ class Evaluator:
     def _batch_residuals(self, bi: int, state):
         """Residual-only eval: (cost_per_block (B,),)."""
         batch = self.program.batches[bi]
-        data, idx, _, _ = self._batch_const[bi]
+        data, idx, _, _, weight = self._batch_const[bi]
         xs = self._gather_slots(batch, idx, state)
 
         if data is None:
@@ -111,6 +171,7 @@ class Evaluator:
         else:
             r = jax.vmap(lambda d, *x: batch.fn(tuple(x), d))(data, *xs)
 
+        r = r * weight[:, None]
         s = jnp.sum(r * r, axis=-1)
         if batch.loss is None:
             return 0.5 * s
@@ -120,7 +181,7 @@ class Evaluator:
     def _batch_residuals_and_jacobian(self, bi: int, state):
         """Full eval for one batch: (cost (B,), r (B,m), J (B,m,T)) corrected."""
         batch = self.program.batches[bi]
-        data, idx, _, mask = self._batch_const[bi]
+        data, idx, _, mask, weight = self._batch_const[bi]
         xs = self._gather_slots(batch, idx, state)
         manifolds = [self.program.groups[gi].manifold for gi in batch.slot_groups]
         T = batch.block_tangent_size
@@ -142,6 +203,8 @@ class Evaluator:
         else:
             r, jac = jax.vmap(one_block)(data, *xs)
 
+        r = r * weight[:, None]  # padded rows contribute nothing
+        jac = jac * weight[:, None, None]
         cost, r_c, (jac_c,) = apply_loss(batch.loss, r, [jac])
         jac_c = jac_c * mask[:, None, :]  # zero out constant coordinates
         return cost, r_c, jac_c
@@ -159,7 +222,7 @@ class Evaluator:
         total = jnp.zeros((), dtype=self.dtype)
         out = []
         for bi in range(len(self.program.batches)):
-            _, idx, tidx, _ = self._batch_const[bi]
+            _, idx, tidx, _, _ = self._batch_const[bi]
             cost, r, jac = self._batch_residuals_and_jacobian(bi, state)
             total = total + jnp.sum(cost)
             out.append(BatchBlocks(r, jac, tidx))
@@ -192,12 +255,15 @@ class Evaluator:
         Only for small problems (DENSE_QR); row order is batch order.
         """
         n = self.num_tangent
-        m_total = sum(b.num_blocks * b.residual_dim for b in self.program.batches)
+        m_total = sum(
+            int(b.r.shape[0]) * spec.residual_dim
+            for spec, b in zip(self.program.batches, blocks)
+        )
         jd = jnp.zeros((m_total, n), dtype=self.dtype)
         rd = jnp.zeros((m_total,), dtype=self.dtype)
         row0 = 0
         for spec, b in zip(self.program.batches, blocks):
-            B, m = spec.num_blocks, spec.residual_dim
+            B, m = int(b.r.shape[0]), spec.residual_dim
             rows = row0 + jnp.arange(B * m).reshape(B, m)
             jd = jd.at[rows[:, :, None], b.idx[:, None, :]].add(b.jac)
             rd = rd.at[rows.reshape(-1)].set(b.r.reshape(-1))

@@ -47,12 +47,29 @@ def lm_diagonal(diag, mu, min_diagonal, max_diagonal):
     return jnp.clip(diag, min_diagonal, max_diagonal) * mu
 
 
-def solve_dense_normal_cholesky(jtj, g, diag, mu, min_diagonal, max_diagonal):
-    """Cholesky of the damped normal equations (DENSE_NORMAL_CHOLESKY)."""
+def solve_dense_normal_cholesky(
+    jtj, g, diag, mu, min_diagonal, max_diagonal, refinement_iterations: int = 0
+):
+    """Cholesky of the damped normal equations (DENSE_NORMAL_CHOLESKY).
+
+    With ``refinement_iterations > 0``, runs mixed-precision iterative
+    refinement (reference: ``use_mixed_precision_solves`` +
+    ``max_num_refinement_iterations``): the factorization stays in the
+    working dtype (f32 on TPU), residuals are recomputed in f64 and the
+    correction re-uses the factor — restores ~f64 step accuracy at f32
+    factorization cost.
+    """
     d = lm_diagonal(diag, mu, min_diagonal, max_diagonal)
     a = jtj + jnp.diag(d)
     l = jax.lax.linalg.cholesky(a)  # NaN fill on indefinite -> invalid step
-    step = jax.scipy.linalg.cho_solve((l, True), -g)
+    b = -g
+    step = jax.scipy.linalg.cho_solve((l, True), b)
+    for _ in range(refinement_iterations):
+        r64 = b.astype(jnp.float64) - a.astype(jnp.float64) @ step.astype(
+            jnp.float64
+        )
+        corr = jax.scipy.linalg.cho_solve((l, True), r64.astype(a.dtype))
+        step = step + corr
     return step, jnp.ones((), dtype=jnp.int32)
 
 

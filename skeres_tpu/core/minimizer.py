@@ -118,7 +118,26 @@ class TrustRegionMinimizer:
         self.summary = summary
         self.solver_type = solver_type
         self.schur_solver = schur_solver
+        # set by solve() when resuming from a checkpoint
+        self.initial_radius_override: Optional[float] = None
+        self.initial_iteration = 0
         self._build_programs()
+
+    def _maybe_checkpoint(self, state, radius, iteration, cost):
+        o = self.options
+        if o.checkpoint_path is None:
+            return
+        if iteration % max(o.checkpoint_every_n_iterations, 1) != 0:
+            return
+        from skeres_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            o.checkpoint_path,
+            [np.asarray(x) for x in state],
+            radius,
+            iteration,
+            cost,
+        )
 
     # -- device program construction ------------------------------------------
 
@@ -144,7 +163,17 @@ class TrustRegionMinimizer:
         if st == LinearSolverType.DENSE_NORMAL_CHOLESKY:
             (jtj,) = data
             return solve_dense_normal_cholesky(
-                jtj, g, diag, mu, o.min_lm_diagonal, o.max_lm_diagonal
+                jtj,
+                g,
+                diag,
+                mu,
+                o.min_lm_diagonal,
+                o.max_lm_diagonal,
+                refinement_iterations=(
+                    o.max_num_refinement_iterations
+                    if o.use_mixed_precision_solves
+                    else 0
+                ),
             )
         if st == LinearSolverType.DENSE_QR:
             j_dense, r_dense = data
@@ -199,6 +228,9 @@ class TrustRegionMinimizer:
         ev = self.ev
         o = self.options
         dtype = ev.dtype
+        dogleg = (
+            o.trust_region_strategy_type == TrustRegionStrategyType.DOGLEG
+        )
 
         def linearize(state):
             cost, blocks = ev.blocks(state)
@@ -209,14 +241,32 @@ class TrustRegionMinimizer:
             scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
             g_max_norm = jnp.max(jnp.abs(g)) if ev.num_tangent else jnp.zeros((), dtype)
             g_norm = jnp.sqrt(jnp.sum(g * g))
-            return cost, g, diag, data, scale, g_max_norm, g_norm
+            if dogleg:
+                # Gauss-Newton point: one (nearly) undamped solve per
+                # linearization, reused across every radius change
+                # (reference: dogleg_strategy.cc ComputeGaussNewtonStep —
+                # this reuse is dogleg's raison d'etre)
+                gs = g * scale
+                diag_s = diag * scale * scale
+                data_s = self._scale_data(data, scale)
+                y_gn, _ = self._solve_damped(
+                    data_s, gs, diag_s, jnp.asarray(1e32, dtype=dtype)
+                )
+                gn = (y_gn,)
+            else:
+                gn = ()
+            return (cost, g, diag, data, scale, g_max_norm, g_norm) + gn
 
-        def solve_and_try(state, data, g, diag, scale, radius):
+        def solve_and_try(state, data, g, diag, scale, radius, *gn):
             # scaled-space damped solve: J_s = J S  (S = diag(scale))
             gs = g * scale
             diag_s = diag * scale * scale
-            data_s = self._scale_data(data, scale)
-            y, lin_iters = self._solve_damped(data_s, gs, diag_s, radius)
+            if dogleg:
+                (y_gn,) = gn
+                y, lin_iters = self._dogleg_step(data, scale, gs, y_gn, radius)
+            else:
+                data_s = self._scale_data(data, scale)
+                y, lin_iters = self._solve_damped(data_s, gs, diag_s, radius)
             dx = y * scale
 
             jtjdx = self._jtj_dx(data, None, dx)
@@ -240,6 +290,40 @@ class TrustRegionMinimizer:
         self.linearize = jax.jit(linearize)
         self.solve_and_try = jax.jit(solve_and_try)
 
+    def _dogleg_step(self, data, scale, gs, y_gn, radius):
+        """Traditional dogleg in the Jacobi-scaled space (reference:
+        ``dogleg_strategy.cc`` ComputeTraditionalDoglegStep): interpolate
+        between the Cauchy point and the Gauss-Newton point on the
+        trust-region boundary. Pure vector ops — no linear solve here."""
+        # (J S)^T (J S) v = S * (J^T J) (S v)
+        jtj_s_gs = scale * self._jtj_dx(data, None, scale * gs)
+        g2 = jnp.dot(gs, gs)
+        gBg = jnp.dot(gs, jtj_s_gs)
+        alpha = g2 / jnp.where(gBg > 0.0, gBg, jnp.ones_like(gBg))
+        pc = -alpha * gs  # Cauchy point
+        pc_norm = jnp.sqrt(jnp.sum(pc * pc))
+        gn_norm = jnp.sqrt(jnp.sum(y_gn * y_gn))
+        gn_ok = jnp.isfinite(gn_norm)
+
+        # segment pc -> gn: ||pc + beta d|| = radius
+        d = jnp.where(gn_ok, y_gn, pc) - pc
+        dd = jnp.dot(d, d)
+        pd = jnp.dot(pc, d)
+        disc = jnp.maximum(pd * pd + dd * (radius * radius - pc_norm * pc_norm), 0.0)
+        beta = (-pd + jnp.sqrt(disc)) / jnp.where(dd > 0.0, dd, jnp.ones_like(dd))
+        beta = jnp.clip(beta, 0.0, 1.0)
+        interp = pc + beta * d
+
+        g_norm = jnp.sqrt(g2)
+        cauchy_capped = -(radius / jnp.where(g_norm > 0.0, g_norm, 1.0)) * gs
+
+        y = jnp.where(
+            gn_ok & (gn_norm <= radius),
+            jnp.where(gn_ok, y_gn, pc),
+            jnp.where(pc_norm >= radius, cauchy_capped, interp),
+        )
+        return y, jnp.ones((), dtype=jnp.int32)
+
     def _scale_data(self, data, scale):
         """Apply column scaling to the solver data (J -> J S)."""
         st = self.solver_type
@@ -262,12 +346,16 @@ class TrustRegionMinimizer:
         s = self.summary
         start = time.time()
 
-        radius = float(o.initial_trust_region_radius)
+        radius = float(
+            self.initial_radius_override
+            if self.initial_radius_override is not None
+            else o.initial_trust_region_radius
+        )
         decrease_factor = 2.0
         num_consecutive_invalid_steps = 0
 
         t0 = time.time()
-        cost, g, diag, data, scale, g_max_norm, g_norm = self.linearize(state)
+        cost, g, diag, data, scale, g_max_norm, g_norm, *gn = self.linearize(state)
         jax.block_until_ready(cost)
         s.jacobian_evaluation_time_in_seconds += time.time() - t0
         s.num_jacobian_evaluations += 1
@@ -332,7 +420,7 @@ class TrustRegionMinimizer:
                 x_norm,
                 lin_iters,
                 dx,
-            ) = self.solve_and_try(state, data, g, diag, scale, radius_dev)
+            ) = self.solve_and_try(state, data, g, diag, scale, radius_dev, *gn)
             new_cost = float(jax.block_until_ready(new_cost))
             step_solver_time = time.time() - t0
             s.linear_solver_time_in_seconds += step_solver_time
@@ -407,9 +495,16 @@ class TrustRegionMinimizer:
                 s.num_successful_steps += 1
 
                 t0 = time.time()
-                cost_d, g, diag, data, scale_new, g_max_norm, g_norm = self.linearize(
-                    state
-                )
+                (
+                    cost_d,
+                    g,
+                    diag,
+                    data,
+                    scale_new,
+                    g_max_norm,
+                    g_norm,
+                    *gn,
+                ) = self.linearize(state)
                 jax.block_until_ready(cost_d)
                 s.jacobian_evaluation_time_in_seconds += time.time() - t0
                 s.num_jacobian_evaluations += 1
@@ -432,6 +527,10 @@ class TrustRegionMinimizer:
             it.cumulative_time_in_seconds = time.time() - start
             s.iterations.append(it)
             self._log_iteration(it)
+            if step_is_successful:
+                self._maybe_checkpoint(
+                    state, radius, self.initial_iteration + iteration, cost
+                )
 
             if self._run_callbacks(it, state):
                 return state

@@ -89,7 +89,18 @@ class SolverOptions:
     callbacks: Sequence[Callable] = dataclasses.field(default_factory=list)
     update_state_every_iteration: bool = False
 
+    # -- checkpoint/resume (built-in form of the reference's
+    # update_state_every_iteration callback idiom, SURVEY.md §6) --------------
+    checkpoint_path: Optional[str] = None
+    checkpoint_every_n_iterations: int = 10
+    resume_from: Optional[str] = None
+
     # -- TPU-specific (no reference counterpart) ------------------------------
+    # run the whole LM loop on device (lax.while_loop, chunked); avoids
+    # per-iteration host<->device round trips. LM-only; callbacks fire per
+    # chunk boundary rather than per iteration.
+    use_device_loop: bool = False
+    device_loop_chunk_iterations: int = 25
     # dtype for device-side math; None = follow jax x64 config
     dtype: Any = None
     # shard residual batches over this mesh axis spec; None = single device

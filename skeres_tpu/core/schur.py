@@ -56,6 +56,7 @@ class SchurSolver:
         max_cg_iterations: int = 500,
         eta: float = 1e-1,
         pair_chunk: Optional[int] = None,
+        refinement_iterations: int = 0,
     ):
         self.ev = evaluator
         self.iterative = iterative
@@ -63,6 +64,7 @@ class SchurSolver:
         self.max_cg_iterations = max_cg_iterations
         self.eta = eta
         self.pair_chunk = pair_chunk
+        self.refinement_iterations = refinement_iterations
         program = evaluator.program
 
         elim = [i for i, g in enumerate(program.groups) if g.schur_group == 0]
@@ -88,10 +90,14 @@ class SchurSolver:
         glob2ret = np.full(n, -1, dtype=np.int32)
         glob2ret[self.ret_index] = np.arange(self.num_f, dtype=np.int32)
 
-        # per-batch column split: E columns (eliminated slot) vs F columns
+        # per-batch column split: E columns (eliminated slot) vs F columns.
+        # Row-indexed arrays (pidx, fidx, tangent_index) come from the
+        # evaluator's padded device constants so sharding padding stays
+        # consistent (padded rows are weight-zeroed -> contribute nothing).
         self.batch_info = []
         e_batches = []  # indices of batches with an eliminated slot
         for bi, b in enumerate(program.batches):
+            _, idx_pad, tidx_pad, _, _ = evaluator._batch_const[bi]
             cols = np.arange(b.block_tangent_size)
             col_group = np.concatenate(
                 [
@@ -111,10 +117,12 @@ class SchurSolver:
                     "requirement)"
                 )
             pidx = (
-                b.slot_indices[e_slots[0]].astype(np.int32) if e_slots else None
+                np.asarray(idx_pad[e_slots[0]]).astype(np.int32)
+                if e_slots
+                else None
             )
             # retained-local indices of the F columns, per block (B, Tf)
-            fidx = glob2ret[b.tangent_index[:, f_cols]]
+            fidx = glob2ret[np.asarray(tidx_pad)[:, f_cols]]
             assert (fidx >= 0).all()
             info = dict(
                 e_cols=jnp.asarray(e_cols, dtype=jnp.int32),
@@ -137,10 +145,9 @@ class SchurSolver:
         # ordered pairs (i, j) of observations of the same point, i != j
         # (the i == j diagonal term is handled separately without gathers).
         if self.e_batch is not None and not iterative:
-            b = program.batches[self.e_batch]
-            pidx_np = b.slot_indices[
-                [s for s, gi in enumerate(b.slot_groups) if gi == self.elim_group][0]
-            ].astype(np.int64)
+            pidx_np = np.asarray(self.batch_info[self.e_batch]["pidx"]).astype(
+                np.int64
+            )
             order = np.argsort(pidx_np, kind="stable")
             sorted_p = pidx_np[order]
             starts = np.searchsorted(sorted_p, np.arange(self.num_points), "left")
@@ -183,8 +190,8 @@ class SchurSolver:
 
     def scale_data(self, data, scale):
         out = []
-        for (r, jac), b in zip(data, self.ev.program.batches):
-            tidx = jnp.asarray(b.tangent_index)
+        for (r, jac), const in zip(data, self.ev._batch_const):
+            tidx = const[2]
             out.append((r, jac * scale[tidx][:, None, :]))
         return tuple(out)
 
@@ -364,6 +371,15 @@ class SchurSolver:
             s = self._dense_s(asm)
             l = jax.lax.linalg.cholesky(s)
             dx_f = jax.scipy.linalg.cho_solve((l, True), rhs)
+            # mixed-precision iterative refinement on the reduced camera
+            # system (reference: use_mixed_precision_solves)
+            for _ in range(self.refinement_iterations):
+                r64 = rhs.astype(jnp.float64) - s.astype(jnp.float64) @ (
+                    dx_f.astype(jnp.float64)
+                )
+                dx_f = dx_f + jax.scipy.linalg.cho_solve(
+                    (l, True), r64.astype(s.dtype)
+                )
             iters = jnp.ones((), dtype=jnp.int32)
         else:
             w_apply, wt_apply = self._w_ct_we_ops(asm)
@@ -425,8 +441,8 @@ class SchurSolver:
     def jtj_matvec(self, data, v):
         """Full-space (J^T J) v from the resident blocks (model cost)."""
         out = jnp.zeros_like(v)
-        for (r, jac), b in zip(data, self.ev.program.batches):
-            tidx = jnp.asarray(b.tangent_index)
+        for (r, jac), const in zip(data, self.ev._batch_const):
+            tidx = const[2]
             jv = jnp.einsum("bmi,bi->bm", jac, v[tidx])
             out = out.at[tidx].add(jnp.einsum("bmi,bm->bi", jac, jv))
         return out

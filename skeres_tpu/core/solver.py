@@ -122,16 +122,55 @@ def solve(
             preconditioner=options.preconditioner_type,
             max_cg_iterations=options.max_linear_solver_iterations,
             eta=options.eta,
+            refinement_iterations=(
+                options.max_num_refinement_iterations
+                if options.use_mixed_precision_solves
+                else 0
+            ),
         )
 
     if options.minimizer_type == MinimizerType.LINE_SEARCH:
         from skeres_tpu.core.line_search import LineSearchMinimizer
 
         minimizer = LineSearchMinimizer(evaluator, options, summary)
+    elif options.use_device_loop:
+        from skeres_tpu.core.device_loop import DeviceLoopMinimizer
+
+        minimizer = DeviceLoopMinimizer(
+            evaluator,
+            options,
+            summary,
+            solver_type,
+            schur_solver=schur_solver,
+            chunk_iterations=min(
+                options.device_loop_chunk_iterations, options.max_num_iterations
+            ),
+        )
     else:
         minimizer = TrustRegionMinimizer(
             evaluator, options, summary, solver_type, schur_solver=schur_solver
         )
+
+    if options.resume_from:
+        from skeres_tpu.utils.checkpoint import load_checkpoint
+
+        groups, radius, iteration, _cost = load_checkpoint(options.resume_from)
+        if len(groups) != len(program.groups):
+            summary.termination_type = TerminationType.FAILURE
+            summary.message = (
+                f"checkpoint has {len(groups)} parameter groups, problem has "
+                f"{len(program.groups)}"
+            )
+            return summary
+        for g, v in zip(program.groups, groups):
+            if v.shape != g.values.shape:
+                summary.termination_type = TerminationType.FAILURE
+                summary.message = "checkpoint group shape mismatch"
+                return summary
+            g.values = v
+        if hasattr(minimizer, "initial_radius_override"):
+            minimizer.initial_radius_override = radius
+            minimizer.initial_iteration = iteration
 
     if options.check_gradients:
         from skeres_tpu.core.gradient_checker import check_program_gradients
@@ -149,7 +188,7 @@ def solve(
             summary.message = f"Gradient check failed: {msg}"
             return summary
 
-    state = program.initial_state(evaluator.dtype)
+    state = evaluator.prepare_state(program.initial_state(evaluator.dtype))
     summary.preprocessor_time_in_seconds = time.time() - t0
 
     # -- minimize ---------------------------------------------------------------

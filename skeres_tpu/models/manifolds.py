@@ -144,9 +144,10 @@ class QuaternionManifold(Manifold):
         return rot.quaternion_product(_quat_exp(delta), x)
 
     def minus(self, y, x):
+        # no double-cover flip: exp(log(d)) == d exactly, so
+        # plus(x, minus(y, x)) reproduces y bit-for-bit (matches the
+        # reference's QuaternionManifold::Minus, which does not flip either)
         d = rot.quaternion_product(y, rot.quaternion_conjugate(x))
-        # resolve double cover: keep w >= 0 so log returns the short rotation
-        d = jnp.where(d[..., :1] < 0, -d, d)
         return _quat_log(d)
 
 
@@ -165,7 +166,6 @@ class EigenQuaternionManifold(Manifold):
         qy = rot.eigen_quaternion_to_ceres(y)
         qx = rot.eigen_quaternion_to_ceres(x)
         d = rot.quaternion_product(qy, rot.quaternion_conjugate(qx))
-        d = jnp.where(d[..., :1] < 0, -d, d)
         return _quat_log(d)
 
 
@@ -191,12 +191,11 @@ def _householder(x):
                      jnp.where(pivot >= 0.0, jnp.zeros_like(beta),
                                jnp.full_like(beta, 2.0)),
                      beta)
-    v = jnp.concatenate([x[..., :-1], jnp.ones_like(pivot)[..., None]], axis=-1)
-    v = v / jnp.where(degenerate, jnp.ones_like(v_pivot), v_pivot)[..., None]
-    v = jnp.where(degenerate[..., None],
-                  jnp.concatenate([jnp.zeros_like(x[..., :-1]),
-                                   jnp.ones_like(pivot)[..., None]], axis=-1),
-                  v)
+    # only the head is divided by v_pivot; the last entry stays 1
+    safe_pivot = jnp.where(degenerate, jnp.ones_like(v_pivot), v_pivot)
+    head = x[..., :-1] / safe_pivot[..., None]
+    head = jnp.where(degenerate[..., None], jnp.zeros_like(head), head)
+    v = jnp.concatenate([head, jnp.ones_like(pivot)[..., None]], axis=-1)
     return v, beta
 
 
@@ -221,7 +220,8 @@ class SphereManifold(Manifold):
         small = n2 < _SMALL
         nd = jnp.sqrt(jnp.where(small, 1.0, n2))
         sinc = jnp.where(small, 1.0 - n2 / 6.0, jnp.sin(nd) / nd)
-        y = jnp.concatenate([sinc * delta, jnp.cos(nd)[None]])
+        w = jnp.where(small, 1.0 - n2 / 2.0, jnp.cos(nd))
+        y = jnp.concatenate([sinc * delta, w[None]])
         v, beta = _householder(x)
         r = jnp.linalg.norm(x)
         return r * _apply_householder(v, beta, y)

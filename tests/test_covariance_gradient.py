@@ -1,0 +1,89 @@
+"""Covariance (dense SVD) and GradientProblem tests.
+
+Counterpart of the reference lineage's ``covariance_test.cc`` (analytic
+small-system oracle) and ``gradient_problem_solver_test.cc`` (Rosenbrock).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+import skeres_tpu as st
+from skeres_tpu.core.covariance import Covariance, CovarianceOptions
+from skeres_tpu.core.gradient_problem import (
+    GradientProblem,
+    solve_gradient_problem,
+)
+from skeres_tpu.core.options import SolverOptions
+from skeres_tpu.core.types import TerminationType
+
+
+def test_covariance_linear_system_oracle():
+    """Linear residuals r = A x - b: covariance must equal (A^T A)^{-1}."""
+    rng = np.random.default_rng(5)
+    a_mat = rng.normal(size=(6, 3))
+    b_vec = rng.normal(size=(6,))
+
+    problem = st.Problem()
+    x = problem.add_parameter_block(np.zeros(3))
+
+    def resid(params, data):
+        (p,) = params
+        return jnp.asarray(a_mat) @ p - jnp.asarray(b_vec)
+
+    problem.add_residual_block(resid, None, [x])
+    st.solve(SolverOptions(max_num_iterations=50), problem)
+
+    cov = Covariance()
+    assert cov.compute(problem)
+    block = cov.get_covariance_block(x, x)
+    expected = np.linalg.inv(a_mat.T @ a_mat)
+    np.testing.assert_allclose(block, expected, rtol=1e-6, atol=1e-10)
+
+
+def test_covariance_rank_deficient_detection():
+    """A rank-deficient J^T J must fail compute() unless null space allowed."""
+    problem = st.Problem()
+    x = problem.add_parameter_block([1.0, 1.0])
+
+    def resid(params, data):
+        (p,) = params
+        return (p[0] + p[1] - 2.0)[None]  # only the sum is observable
+
+    problem.add_residual_block(resid, None, [x])
+    cov = Covariance()
+    assert not cov.compute(problem)
+    cov2 = Covariance(CovarianceOptions(null_space_rank=1))
+    assert cov2.compute(problem)
+    blk = cov2.get_covariance_block(x, x)
+    assert np.isfinite(blk).all()
+
+
+def test_gradient_problem_rosenbrock():
+    """Reference: examples/rosenbrock.cc — LBFGS line search to (1, 1)."""
+
+    def rosenbrock(x):
+        return (1.0 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+
+    gp = GradientProblem(rosenbrock, 2)
+    x_sol, summary = solve_gradient_problem(
+        SolverOptions(max_num_iterations=300), gp, np.array([-1.2, 1.0])
+    )
+    assert summary.termination_type == TerminationType.CONVERGENCE, summary.message
+    np.testing.assert_allclose(x_sol, [1.0, 1.0], atol=1e-5)
+
+
+def test_gradient_problem_on_sphere_manifold():
+    """Minimize a linear function on the unit sphere: the optimum is the
+    (negative) coefficient direction; exercises manifold line search."""
+    c = np.array([1.0, 2.0, 2.0]) / 3.0
+
+    def f(x):
+        return -jnp.dot(jnp.asarray(c), x)
+
+    gp = GradientProblem(f, 3, manifold=st.SphereManifold(3))
+    x0 = np.array([1.0, 0.0, 0.0])
+    x_sol, summary = solve_gradient_problem(
+        SolverOptions(max_num_iterations=200), gp, x0
+    )
+    np.testing.assert_allclose(np.linalg.norm(x_sol), 1.0, atol=1e-8)
+    np.testing.assert_allclose(x_sol, c / np.linalg.norm(c), atol=1e-5)

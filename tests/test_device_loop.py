@@ -1,0 +1,56 @@
+"""Whole-solve on-device LM loop: must match the host loop's trajectory
+(same formulas, same radius updates) and converge on the flagship workload."""
+
+import numpy as np
+import pytest
+
+import skeres_tpu as st
+from skeres_tpu.core.options import SolverOptions
+from skeres_tpu.core.types import LinearSolverType, TerminationType
+from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+
+@pytest.fixture(scope="module")
+def bal():
+    return synthetic_bal(num_cameras=5, num_points=40, observations_per_point=3)
+
+
+def _solve(bal, device_loop, solver=LinearSolverType.DENSE_SCHUR, iters=25):
+    problem, cams, pts = build_bal_problem(bal)
+    options = SolverOptions(
+        linear_solver_type=solver,
+        max_num_iterations=iters,
+        use_device_loop=device_loop,
+        device_loop_chunk_iterations=8,  # force multiple chunks
+    )
+    summary = st.solve(options, problem)
+    return summary, cams.values.copy()
+
+
+def test_device_loop_matches_host_loop(bal):
+    s_host, cams_host = _solve(bal, device_loop=False)
+    s_dev, cams_dev = _solve(bal, device_loop=True)
+    assert s_dev.termination_type == TerminationType.CONVERGENCE, s_dev.message
+    np.testing.assert_allclose(s_dev.initial_cost, s_host.initial_cost, rtol=1e-12)
+    np.testing.assert_allclose(s_dev.final_cost, s_host.final_cost, rtol=1e-6)
+    # identical formulas -> identical accept/reject trajectory
+    assert s_dev.num_successful_steps == s_host.num_successful_steps
+    np.testing.assert_allclose(cams_dev, cams_host, rtol=1e-6, atol=1e-8)
+
+
+def test_device_loop_cgnr(bal):
+    s_dev, _ = _solve(bal, device_loop=True, solver=LinearSolverType.CGNR)
+    assert s_dev.termination_type == TerminationType.CONVERGENCE, s_dev.message
+    assert s_dev.final_cost < 0.1 * s_dev.initial_cost
+
+
+def test_device_loop_iteration_history(bal):
+    s_dev, _ = _solve(bal, device_loop=True)
+    its = s_dev.iterations
+    assert its[0].iteration == 0
+    assert [it.iteration for it in its] == list(range(len(its)))
+    accepted = [it for it in its[1:] if it.step_is_successful]
+    assert len(accepted) == s_dev.num_successful_steps
+    # costs on accepted steps must be non-increasing (monotonic LM)
+    costs = [its[0].cost] + [it.cost for it in accepted]
+    assert all(b <= a + 1e-9 for a, b in zip(costs, costs[1:]))

@@ -90,9 +90,14 @@ def test_minus_self_is_zero(name, man, points):
 
 @pytest.mark.parametrize("name,man,points", CASES, ids=IDS)
 def test_plus_minus_round_trip(name, man, points):
-    for x, y in zip(points[:-1], points[1:]):
-        y2 = man.plus(x, man.minus(y, x))
-        np.testing.assert_allclose(y2, y, rtol=1e-8, atol=1e-9)
+    # y must be reachable from x (reference harness: y = Plus(x, delta));
+    # e.g. SubsetManifold cannot represent arbitrary y - x
+    for x in points:
+        for scale in [1e-4, 0.3, 1.2]:
+            d = jnp.asarray(RNG.normal(size=man.tangent_size)) * scale
+            y = man.plus(x, d)
+            y2 = man.plus(x, man.minus(y, x))
+            np.testing.assert_allclose(y2, y, rtol=1e-8, atol=1e-9)
 
 
 @pytest.mark.parametrize("name,man,points", CASES, ids=IDS)

@@ -1,0 +1,152 @@
+"""Schur-complement solver tests on synthetic bundle adjustment.
+
+Counterpart of the reference lineage's solver cross-product system tests
+(``internal/ceres/bundle_adjustment_test_util.h``, ``system_test.cc``):
+all linear solvers must agree on the solution of the same problem within
+tolerance — no golden numbers, solvers certify each other.
+"""
+
+import numpy as np
+import pytest
+
+import skeres_tpu as st
+from skeres_tpu.core.options import SolverOptions
+from skeres_tpu.core.types import (
+    LinearSolverType,
+    PreconditionerType,
+    TerminationType,
+)
+from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+
+def _solve(linear_solver, bal, **kw):
+    problem, cameras, points = build_bal_problem(bal)
+    options = SolverOptions(
+        linear_solver_type=linear_solver,
+        max_num_iterations=30,
+        **kw,
+    )
+    summary = st.solve(options, problem)
+    return summary, cameras.values.copy(), points.values.copy()
+
+
+@pytest.fixture(scope="module")
+def small_bal():
+    return synthetic_bal(num_cameras=6, num_points=60, observations_per_point=3)
+
+
+@pytest.fixture(scope="module")
+def dense_solution(small_bal):
+    return _solve(LinearSolverType.DENSE_NORMAL_CHOLESKY, small_bal)
+
+
+def test_dense_reference_converges(dense_solution):
+    summary, _, _ = dense_solution
+    assert summary.termination_type == TerminationType.CONVERGENCE, summary.message
+    assert summary.final_cost < summary.initial_cost * 0.1
+
+
+@pytest.mark.parametrize(
+    "solver,precond",
+    [
+        (LinearSolverType.DENSE_SCHUR, PreconditionerType.JACOBI),
+        (LinearSolverType.ITERATIVE_SCHUR, PreconditionerType.SCHUR_JACOBI),
+        (LinearSolverType.CGNR, PreconditionerType.JACOBI),
+    ],
+)
+def test_solvers_agree_with_dense(dense_solution, small_bal, solver, precond):
+    ref_summary, ref_cams, ref_pts = dense_solution
+    summary, cams, pts = _solve(solver, small_bal, preconditioner_type=precond)
+    assert summary.termination_type == TerminationType.CONVERGENCE, summary.message
+    # final costs agree within the convergence-tolerance regime
+    np.testing.assert_allclose(
+        summary.final_cost, ref_summary.final_cost, rtol=1e-4
+    )
+
+
+def test_schur_step_equals_dense_step(small_bal):
+    """One damped solve: DENSE_SCHUR elimination must reproduce the full
+    dense normal-equation solution exactly (it is algebraically identical).
+    Mirror of the reference's schur_eliminator_test strategy."""
+    import jax.numpy as jnp
+
+    from skeres_tpu.core.evaluator import Evaluator
+    from skeres_tpu.core.linear_solvers import solve_dense_normal_cholesky
+    from skeres_tpu.core.schur import SchurSolver
+
+    problem, cameras, points = build_bal_problem(small_bal)
+    program = problem.compile()
+    ev = Evaluator(program)
+    state = program.initial_state(ev.dtype)
+
+    cost, blocks = ev.blocks(state)
+    g, diag = ev.gradient_and_diag(blocks)
+    jtj = ev.jtj_dense(blocks)
+
+    mu = 1e-4
+    dense_step, _ = solve_dense_normal_cholesky(jtj, g, diag, mu, 1e-6, 1e32)
+
+    schur = SchurSolver(ev, iterative=False)
+    data = schur.solver_data(blocks)
+    schur_step, _ = schur.solve_damped(
+        data, g, diag, jnp.asarray(mu, dtype=ev.dtype), 1e-6, 1e32
+    )
+    np.testing.assert_allclose(
+        np.asarray(schur_step), np.asarray(dense_step), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_iterative_schur_matvec_matches_dense_s(small_bal):
+    """Implicit S matvec == materialized dense S product (random vectors)."""
+    import jax.numpy as jnp
+
+    from skeres_tpu.core.evaluator import Evaluator
+    from skeres_tpu.core.linear_solvers import lm_diagonal
+    from skeres_tpu.core.schur import SchurSolver
+
+    problem, cameras, points = build_bal_problem(small_bal)
+    program = problem.compile()
+    ev = Evaluator(program)
+    state = program.initial_state(ev.dtype)
+    _, blocks = ev.blocks(state)
+    g, diag = ev.gradient_and_diag(blocks)
+
+    schur = SchurSolver(ev, iterative=False)
+    data = schur.solver_data(blocks)
+    d = lm_diagonal(diag, 1e-3, 1e-6, 1e32)
+    asm = schur._assemble(data, g, d)
+    s_dense = schur._dense_s(asm)
+
+    w_apply, wt_apply = schur._w_ct_we_ops(asm)
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        v = jnp.asarray(rng.normal(size=(schur.num_f,)))
+        sv_implicit = schur._ftf_apply(asm, v) - w_apply(
+            jnp.einsum("pef,pf->pe", asm["cinv"], wt_apply(v))
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_dense @ v), np.asarray(sv_implicit), rtol=1e-8, atol=1e-9
+        )
+
+    # SCHUR_JACOBI blocks must equal the diagonal blocks of dense S
+    blocks_sj = schur._schur_jacobi_blocks(asm)
+    for (start, nb, t), blk in zip(schur.ret_blocks, blocks_sj):
+        for b in range(nb):
+            lo = start + b * t
+            np.testing.assert_allclose(
+                np.asarray(blk[b]),
+                np.asarray(s_dense[lo : lo + t, lo : lo + t]),
+                rtol=1e-8,
+                atol=1e-9,
+            )
+
+
+def test_gradient_checker_on_snavely(small_bal):
+    from skeres_tpu.core.evaluator import Evaluator
+    from skeres_tpu.core.gradient_checker import check_program_gradients
+
+    problem, _, _ = build_bal_problem(small_bal)
+    program = problem.compile()
+    ev = Evaluator(program)
+    ok, msg = check_program_gradients(program, ev)
+    assert ok, msg

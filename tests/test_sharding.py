@@ -1,0 +1,89 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §5.6): the sharded, psum-reduced evaluation must agree with the
+single-device result, and the full sharded LM step must execute.
+
+There is no reference counterpart (the lineage is single-process); this is
+the new distributed capability's correctness harness.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import skeres_tpu as st
+from skeres_tpu.core.evaluator import Evaluator
+from skeres_tpu.core.options import SolverOptions
+from skeres_tpu.core.types import LinearSolverType, TerminationType
+from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+
+requires_multidevice = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()[:8]), axis_names=("obs",))
+
+
+@pytest.fixture(scope="module")
+def bal():
+    # 6 cameras / 50 points / 3 obs -> 150 observations, not divisible by 8:
+    # exercises the padding + weight-masking path
+    return synthetic_bal(num_cameras=6, num_points=50, observations_per_point=3)
+
+
+@requires_multidevice
+def test_sharded_eval_matches_single_device(mesh, bal):
+    problem, _, _ = build_bal_problem(bal)
+    program = problem.compile()
+
+    ev1 = Evaluator(program)
+    state1 = program.initial_state(ev1.dtype)
+    cost1, blocks1 = jax.jit(ev1.blocks)(state1)
+    g1, diag1 = jax.jit(ev1.gradient_and_diag)(blocks1)
+
+    ev8 = Evaluator(program, mesh=mesh)
+    state8 = ev8.prepare_state(program.initial_state(ev8.dtype))
+    cost8, blocks8 = jax.jit(ev8.blocks)(state8)
+    g8, diag8 = jax.jit(ev8.gradient_and_diag)(blocks8)
+
+    np.testing.assert_allclose(float(cost8), float(cost1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(g1), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(diag8), np.asarray(diag1), rtol=1e-10)
+
+
+@requires_multidevice
+def test_sharded_solve_matches_single_device(mesh, bal):
+    def run(mesh_arg):
+        problem, cams, pts = build_bal_problem(bal)
+        options = SolverOptions(
+            linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
+            max_num_iterations=5,
+            mesh=mesh_arg,
+        )
+        summary = st.solve(options, problem)
+        return summary
+
+    s1 = run(None)
+    s8 = run(mesh)
+    assert s8.num_devices == len(jax.devices())
+    np.testing.assert_allclose(s8.initial_cost, s1.initial_cost, rtol=1e-10)
+    np.testing.assert_allclose(s8.final_cost, s1.final_cost, rtol=1e-6)
+
+
+@requires_multidevice
+def test_graft_dryrun_multichip():
+    """The driver's multi-chip entry must run on the fake mesh."""
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

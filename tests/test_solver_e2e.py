@@ -197,3 +197,32 @@ def test_callbacks_and_abort():
     )
     assert summary.termination_type == TerminationType.USER_FAILURE
     assert max(seen) == 2
+
+
+def test_powell_dogleg():
+    from skeres_tpu.core.types import TrustRegionStrategyType
+
+    problem, summary, xs = _solve_powell(
+        LinearSolverType.DENSE_NORMAL_CHOLESKY,
+        trust_region_strategy_type=TrustRegionStrategyType.DOGLEG,
+    )
+    assert summary.termination_type == TerminationType.CONVERGENCE, summary.message
+    assert summary.final_cost < 1e-10
+
+
+def test_curve_fitting_line_search_lbfgs():
+    from skeres_tpu.core.types import MinimizerType
+
+    x, y = _curve_data()
+    problem, mc = _build_curve_problem(x, y)
+    options = SolverOptions(
+        minimizer_type=MinimizerType.LINE_SEARCH,
+        max_num_iterations=200,
+    )
+    summary = st.solve(options, problem)
+    assert summary.termination_type in (
+        TerminationType.CONVERGENCE,
+        TerminationType.NO_CONVERGENCE,
+    ), summary.message
+    m, c = mc.value
+    assert abs(m - 0.3) < 0.1 and abs(c - 0.1) < 0.2
