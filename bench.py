@@ -92,7 +92,10 @@ def run_tpu_solver(bal, max_iters=BENCH_ITERS, warmup=True):
         return st.solve(options, problem)
 
     if warmup:
-        solve(2)  # populate the jit cache; discarded
+        # warm with the SAME iteration count: the device loop compiles per
+        # chunk length, and the persistent cache (enabled in main) turns
+        # the measured solve's compile into a fast cache hit
+        solve(max_iters)
     summary = solve(max_iters)
     steps = summary.num_successful_steps + summary.num_unsuccessful_steps
     secs = summary.minimizer_time_in_seconds
@@ -202,6 +205,16 @@ def get_baseline(bal, label):
 
 def main():
     import argparse
+
+    import jax
+
+    # persistent compile cache: repeated bench runs (and the measured solve
+    # after the warm-up solve) skip XLA compilation
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--num_cameras", type=int, default=None)

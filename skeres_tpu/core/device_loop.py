@@ -116,6 +116,8 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
 
             cand = ev.plus(state, dx)
             cand = ev.project_bounds(cand)
+            if self.inner_refiner is not None:
+                cand = self.inner_refiner.refine(cand)
             new_cost = ev.cost(cand)
             x_norm = ev.x_norm(cand)
 

@@ -112,12 +112,14 @@ class TrustRegionMinimizer:
         summary: Summary,
         solver_type: LinearSolverType,
         schur_solver=None,
+        inner_refiner=None,
     ):
         self.ev = evaluator
         self.options = options
         self.summary = summary
         self.solver_type = solver_type
         self.schur_solver = schur_solver
+        self.inner_refiner = inner_refiner
         # set by solve() when resuming from a checkpoint
         self.initial_radius_override: Optional[float] = None
         self.initial_iteration = 0
@@ -275,6 +277,10 @@ class TrustRegionMinimizer:
 
             new_state = ev.plus(state, dx)
             new_state = ev.project_bounds(new_state)
+            if self.inner_refiner is not None:
+                # reference order (trust_region_minimizer.cc): inner
+                # iterations refine the candidate BEFORE step acceptance
+                new_state = self.inner_refiner.refine(new_state)
             new_cost = ev.cost(new_state)
             x_norm = ev.x_norm(new_state)
             return (

@@ -107,6 +107,9 @@ class SolverOptions:
     mesh: Any = None
     # chunk size for streamed (scan-accumulated) evaluation; None = no chunking
     evaluation_chunk_size: Optional[int] = None
+    # write a Perfetto/XProf trace of the minimizer to this directory
+    # (SURVEY.md §6 tracing; view with xprof / perfetto)
+    trace_dir: Optional[str] = None
 
     def is_valid(self) -> tuple[bool, str]:
         """Counterpart of Solver::Options::IsValid."""

@@ -544,12 +544,41 @@ class Problem:
 
     # -- evaluation convenience (reference: Problem::Evaluate) ----------------
 
-    def evaluate(self, dtype=None):
-        """Return (cost, residuals_by_batch) at the current parameter values."""
+    def evaluate(
+        self,
+        residuals: bool = False,
+        gradient: bool = False,
+        jacobian: bool = False,
+        dtype=None,
+    ):
+        """Evaluate at the current parameter values
+        (reference: ``Problem::Evaluate(EvaluateOptions, ...)``).
+
+        Returns ``cost`` alone by default, else a dict with any of
+        ``cost`` (float), ``residuals`` ((M,), loss-corrected, batch order),
+        ``gradient`` ((N_tangent,) = J^T r), ``jacobian`` ((M, N_tangent)
+        dense — small problems only).
+        """
+        import jax
+        import jax.numpy as jnp
+
         from skeres_tpu.core.evaluator import Evaluator
 
         program = self.compile()
         ev = Evaluator(program, dtype=dtype)
         state = program.initial_state(ev.dtype)
-        cost = float(ev.cost(state))
-        return cost
+        if not (residuals or gradient or jacobian):
+            return float(jax.jit(ev.cost)(state))
+
+        cost, blocks = jax.jit(ev.blocks)(state)
+        out = {"cost": float(cost)}
+        if residuals or jacobian:
+            jd, rd = ev.jacobian_dense(blocks)
+            if residuals:
+                out["residuals"] = np.asarray(rd)
+            if jacobian:
+                out["jacobian"] = np.asarray(jd)
+        if gradient:
+            g, _ = ev.gradient_and_diag(blocks)
+            out["gradient"] = np.asarray(g)
+        return out

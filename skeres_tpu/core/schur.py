@@ -141,10 +141,67 @@ class SchurSolver:
             )
         self.e_batch = e_batches[0] if e_batches else None
 
+        # retained block structure for the SCHUR_JACOBI preconditioner and
+        # the dense-W gate: contiguous (n_blocks, t) spans per retained group
+        self.ret_blocks = []  # (start_in_retained, n_blocks, t)
+        pos = 0
+        for gi, g in enumerate(program.groups):
+            if gi == self.elim_group:
+                continue
+            self.ret_blocks.append((pos, g.num_blocks, g.tangent_size))
+            pos += g.num_blocks * g.tangent_size
+
+        # Dense-W fast path for DENSE_SCHUR (no scatter): viable when the
+        # E-batch couples one point block to ONE retained block per row
+        # (the BA case) and the dense per-point W = (n_pts, n_cams, f, e)
+        # fits memory. The pair-scatter path below is the general fallback
+        # — profiled 101ms vs <10ms for everything else on v5e (the XLA
+        # scatter-add is the entire bottleneck; see tools/profile_tpu.py).
+        self.dense_w = None
+        if self.e_batch is not None and not iterative:
+            b = program.batches[self.e_batch]
+            info = self.batch_info[self.e_batch]
+            ret_groups = [
+                gi for gi in b.slot_groups if gi != self.elim_group
+            ]
+            if len(b.slot_groups) == 2 and len(ret_groups) == 1:
+                gr = program.groups[ret_groups[0]]
+                f_size = gr.tangent_size
+                n_cams = gr.num_blocks
+                w_bytes = self.num_points * n_cams * f_size * self.e_size * 4
+                if (
+                    len(self.ret_blocks) == 1
+                    and f_size == len(np.asarray(info["f_cols"]))
+                    and w_bytes <= 2 << 30
+                ):
+                    cam_slot = [
+                        s
+                        for s, gi in enumerate(b.slot_groups)
+                        if gi != self.elim_group
+                    ][0]
+                    _, idx_pad, _, _, _ = evaluator._batch_const[self.e_batch]
+                    cam_idx = jnp.asarray(idx_pad[cam_slot])
+                    pidx = info["pidx"]
+                    onehot = (
+                        cam_idx[:, None]
+                        == jnp.arange(n_cams, dtype=cam_idx.dtype)[None, :]
+                    ).astype(evaluator.dtype)
+                    self.dense_w = dict(
+                        n_cams=n_cams,
+                        f_size=f_size,
+                        cam_idx=cam_idx,
+                        # linear (point, camera) cell index; scatter-ADD (the
+                        # sharding-padded duplicate rows carry zero blocks)
+                        lin_idx=pidx * n_cams + cam_idx,
+                        # one-hot for the block-diagonal F^T F reduction:
+                        # a (B, n_cams) matmul instead of a segment scatter
+                        onehot=onehot,
+                    )
+
         # host-side pair enumeration for the S scatter (DENSE_SCHUR):
         # ordered pairs (i, j) of observations of the same point, i != j
         # (the i == j diagonal term is handled separately without gathers).
-        if self.e_batch is not None and not iterative:
+        if self.e_batch is not None and not iterative and self.dense_w is None:
             pidx_np = np.asarray(self.batch_info[self.e_batch]["pidx"]).astype(
                 np.int64
             )
@@ -168,16 +225,6 @@ class SchurSolver:
             else:
                 self.pair_i = jnp.zeros((0,), dtype=jnp.int32)
                 self.pair_j = jnp.zeros((0,), dtype=jnp.int32)
-
-        # retained block structure for the SCHUR_JACOBI preconditioner:
-        # contiguous (n_blocks, t) spans per retained group
-        self.ret_blocks = []  # (start_in_retained, n_blocks, t)
-        pos = 0
-        for gi, g in enumerate(program.groups):
-            if gi == self.elim_group:
-                continue
-            self.ret_blocks.append((pos, g.num_blocks, g.tangent_size))
-            pos += g.num_blocks * g.tangent_size
 
         self._ret_index_dev = jnp.asarray(self.ret_index)
 
@@ -333,8 +380,51 @@ class SchurSolver:
 
     # -- DENSE_SCHUR -----------------------------------------------------------------
 
+    def _dense_s_dense_w(self, asm):
+        """Scatter-free S assembly (BA fast path): everything is one-hot
+        matmuls and batched einsums on the MXU.
+
+          S = blockdiag(F^T F) - sum_p W_p C_p^{-1} W_p^T + diag(d_f)
+
+        with W (n_pts, n_cams, f, e) materialized densely (bounded size,
+        checked at construction). Replaces the observation-pair scatter
+        that dominated the profile (tools/profile_tpu.py: 101ms -> ~2ms).
+        """
+        dw = self.dense_w
+        nc, f, e = dw["n_cams"], dw["f_size"], self.e_size
+        dtype = asm["g_f"].dtype
+        r, F, E, fidx, pidx = asm["per_batch"][self.e_batch]
+
+        # block-diagonal F^T F via one-hot reduction
+        ftf = jnp.einsum("bmf,bmg->bfg", F, F)  # (B, f, f)
+        diag_blocks = jnp.einsum("bc,bfg->cfg", dw["onehot"], ftf)
+
+        # dense W and the correction term
+        a = jnp.einsum("bmf,bme->bfe", F, E)  # (B, f, e)
+        w = jnp.zeros((self.num_points * nc, f, e), dtype=dtype)
+        w = w.at[dw["lin_idx"]].add(a)
+        w = w.reshape(self.num_points, nc, f, e)
+        y = jnp.einsum("pcfe,peg->pcfg", w, asm["cinv"])
+        corr = jnp.einsum("pcfe,pdge->cfdg", y, w)  # (nc, f, nc, f)
+
+        s = -corr.reshape(nc * f, nc * f)
+        rows = jnp.arange(nc * f).reshape(nc, f)
+        s = s.at[rows[:, :, None], rows[:, None, :]].add(diag_blocks)
+        s = s + jnp.diag(asm["d_f"])
+
+        # any other batches (e.g. camera priors) take the generic path;
+        # they are tiny compared to the observation batch
+        for bi, (rb, Fb, Eb, fidxb, pidxb) in enumerate(asm["per_batch"]):
+            if bi == self.e_batch or Fb is None:
+                continue
+            ftfb = jnp.einsum("bmf,bmg->bfg", Fb, Fb)
+            s = s.at[fidxb[:, :, None], fidxb[:, None, :]].add(ftfb)
+        return s
+
     def _dense_s(self, asm):
         """Materialize S (N_f, N_f)."""
+        if self.dense_w is not None:
+            return self._dense_s_dense_w(asm)
         nf = self.num_f
         dtype = asm["g_f"].dtype
         s = jnp.diag(asm["d_f"])

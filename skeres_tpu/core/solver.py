@@ -129,6 +129,18 @@ def solve(
             ),
         )
 
+    inner_refiner = None
+    if options.use_inner_iterations:
+        from skeres_tpu.core.inner_iterations import InnerIterationRefiner
+
+        if any(g.schur_group == 0 for g in program.groups):
+            inner_refiner = InnerIterationRefiner(evaluator)
+        else:
+            summary.message = (
+                "use_inner_iterations ignored: no independent group declared "
+                "(set_schur_elimination_group(arr, 0))"
+            )
+
     if options.minimizer_type == MinimizerType.LINE_SEARCH:
         from skeres_tpu.core.line_search import LineSearchMinimizer
 
@@ -142,13 +154,19 @@ def solve(
             summary,
             solver_type,
             schur_solver=schur_solver,
+            inner_refiner=inner_refiner,
             chunk_iterations=min(
                 options.device_loop_chunk_iterations, options.max_num_iterations
             ),
         )
     else:
         minimizer = TrustRegionMinimizer(
-            evaluator, options, summary, solver_type, schur_solver=schur_solver
+            evaluator,
+            options,
+            summary,
+            solver_type,
+            schur_solver=schur_solver,
+            inner_refiner=inner_refiner,
         )
 
     if options.resume_from:
@@ -193,7 +211,11 @@ def solve(
 
     # -- minimize ---------------------------------------------------------------
     t0 = time.time()
-    state = minimizer.minimize(state)
+    if options.trace_dir:
+        with jax.profiler.trace(options.trace_dir):
+            state = minimizer.minimize(state)
+    else:
+        state = minimizer.minimize(state)
     summary.minimizer_time_in_seconds = time.time() - t0
 
     # -- postprocess -------------------------------------------------------------

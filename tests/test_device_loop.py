@@ -54,3 +54,25 @@ def test_device_loop_iteration_history(bal):
     # costs on accepted steps must be non-increasing (monotonic LM)
     costs = [its[0].cost] + [it.cost for it in accepted]
     assert all(b <= a + 1e-9 for a, b in zip(costs, costs[1:]))
+
+
+def test_inner_iterations_improve_bal(bal):
+    """use_inner_iterations refines points inside each step; the solve must
+    still converge and not regress the final cost."""
+    problem, cams, pts = build_bal_problem(bal)
+    options = SolverOptions(
+        linear_solver_type=LinearSolverType.DENSE_SCHUR,
+        max_num_iterations=25,
+        use_inner_iterations=True,
+    )
+    summary = st.solve(options, problem)
+    assert summary.termination_type == TerminationType.CONVERGENCE, summary.message
+
+    problem2, _, _ = build_bal_problem(bal)
+    base = st.solve(
+        SolverOptions(
+            linear_solver_type=LinearSolverType.DENSE_SCHUR, max_num_iterations=25
+        ),
+        problem2,
+    )
+    assert summary.final_cost <= base.final_cost * 1.05
