@@ -9,6 +9,15 @@ kernels; multi-chip scaling shards residual blocks over a
 ``jax.sharding.Mesh`` with ``psum`` reduction of the normal equations.
 """
 
+import jax as _jax
+
+# TPU MXUs multiply f32 operands at bfloat16 precision by default — three
+# decimal digits, far short of the 1e-6..1e-10 tolerances this solver
+# chases (and of the reference, which is all f64). Force true-f32 matmuls
+# framework-wide; the hot path is latency-bound, not MXU-bound, so the
+# extra passes are free in practice. Users can still override per-call.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from skeres_tpu.ops.loss import (
     ArctanLoss,
     CauchyLoss,

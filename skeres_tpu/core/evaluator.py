@@ -141,6 +141,48 @@ class Evaluator:
         if self._replicated is not None:
             self._free_mask = jax.device_put(self._free_mask, self._replicated)
 
+        # scatter-free reduction plans per (batch, slot): XLA scatter-add is
+        # the profiled assembly bottleneck on TPU; destination indices are
+        # static, so strategy is planned host-side (ops/segment_reduce.py).
+        # Under SPMD sharding gathers from sharded operands would allgather,
+        # so the mesh path keeps scatters (XLA turns them into psum).
+        from skeres_tpu.ops.segment_reduce import build_reduce_plan
+
+        force_scatter = mesh is not None
+        self._slot_plans = []
+        for bi, b in enumerate(program.batches):
+            _, idx_pad, _, _, _ = self._batch_const[bi]
+            self._slot_plans.append(
+                tuple(
+                    build_reduce_plan(
+                        np.asarray(ix),
+                        program.groups[gi].num_blocks,
+                        force_scatter=force_scatter,
+                    )
+                    for gi, ix in zip(b.slot_groups, idx_pad)
+                )
+            )
+        # tangent column span per slot within each batch's T axis
+        self._slot_cols = []
+        for b in program.batches:
+            cols, c = [], 0
+            for t in b.tangent_sizes:
+                cols.append((c, t))
+                c += t
+            self._slot_cols.append(tuple(cols))
+
+    def slot_reduce(self, bi: int, s: int, values):
+        """Sum per-row contributions ``values (B, D)`` into the slot's
+        destination blocks -> ``(n_blocks, D)``."""
+        from skeres_tpu.ops.segment_reduce import apply_reduce_plan
+
+        return apply_reduce_plan(self._slot_plans[bi][s], values)
+
+    def assemble_tangent(self, per_group):
+        """Concatenate per-group ``(n_blocks, t)`` arrays into the global
+        tangent vector (groups are laid out contiguously in group order)."""
+        return jnp.concatenate([a.reshape(-1) for a in per_group])
+
     def prepare_state(self, state):
         """Place the state pytree (replicated) for the evaluator's mesh."""
         if self._replicated is None:
@@ -229,15 +271,26 @@ class Evaluator:
         return total, out
 
     def gradient_and_diag(self, blocks: Sequence[BatchBlocks]):
-        """g = J^T r and diag(J^T J) by scatter-add over all batches."""
-        n = self.num_tangent
-        g = jnp.zeros((n,), dtype=self.dtype)
-        diag = jnp.zeros((n,), dtype=self.dtype)
-        for b in blocks:
+        """g = J^T r and diag(J^T J), assembled scatter-free: per (batch,
+        slot) segment reduction into per-group accumulators, concatenated in
+        tangent layout order (replaces the reference's BlockJacobianWriter
+        scatter; see ops/segment_reduce.py for why not ``.at[].add``)."""
+        accs = [
+            jnp.zeros((g.num_blocks, 2 * g.tangent_size), dtype=self.dtype)
+            for g in self.program.groups
+        ]
+        for bi, b in enumerate(blocks):
+            batch = self.program.batches[bi]
             gb = jnp.einsum("bmi,bm->bi", b.jac, b.r)
             db = jnp.sum(b.jac * b.jac, axis=1)  # (B, T)
-            g = g.at[b.idx].add(gb)
-            diag = diag.at[b.idx].add(db)
+            for s, gi in enumerate(batch.slot_groups):
+                c, t = self._slot_cols[bi][s]
+                vals = jnp.concatenate(
+                    [gb[:, c : c + t], db[:, c : c + t]], axis=1
+                )
+                accs[gi] = accs[gi] + self.slot_reduce(bi, s, vals)
+        g = self.assemble_tangent([a[:, : a.shape[1] // 2] for a in accs])
+        diag = self.assemble_tangent([a[:, a.shape[1] // 2 :] for a in accs])
         return g, diag
 
     def jtj_dense(self, blocks: Sequence[BatchBlocks]):
@@ -271,12 +324,20 @@ class Evaluator:
         return jd, rd
 
     def jtj_matvec(self, blocks: Sequence[BatchBlocks], v):
-        """v -> J^T (J v) without forming J^T J (CGNR hot path)."""
-        out = jnp.zeros_like(v)
-        for b in blocks:
+        """v -> J^T (J v) without forming J^T J (CGNR hot path).
+        Gather on the way in, planned segment-reduce on the way out."""
+        accs = [
+            jnp.zeros((g.num_blocks, g.tangent_size), dtype=v.dtype)
+            for g in self.program.groups
+        ]
+        for bi, b in enumerate(blocks):
+            batch = self.program.batches[bi]
             jv = jnp.einsum("bmi,bi->bm", b.jac, v[b.idx])
-            out = out.at[b.idx].add(jnp.einsum("bmi,bm->bi", b.jac, jv))
-        return out
+            jtv = jnp.einsum("bmi,bm->bi", b.jac, jv)  # (B, T)
+            for s, gi in enumerate(batch.slot_groups):
+                c, t = self._slot_cols[bi][s]
+                accs[gi] = accs[gi] + self.slot_reduce(bi, s, jtv[:, c : c + t])
+        return self.assemble_tangent(accs)
 
     def plus(self, state, step):
         """x <- x (+) step, step (N,) in global tangent space."""

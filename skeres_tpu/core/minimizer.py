@@ -296,6 +296,28 @@ class TrustRegionMinimizer:
         self.linearize = jax.jit(linearize)
         self.solve_and_try = jax.jit(solve_and_try)
 
+    def compile_programs(self, state):
+        """AOT-compile the device programs (preprocessor phase) so
+        ``minimize()`` measures steady-state execution only — the TPU
+        counterpart of the reference preprocessor's one-time setup
+        (``trust_region_preprocessor.cc``). Safe to skip: jit compiles
+        lazily on first call otherwise."""
+        if self.ev.mesh is not None:
+            # lowering from ShapeDtypeStructs drops sharding layouts;
+            # the sharded path lets jit compile lazily instead
+            return
+        dtype = self.ev.dtype
+        out = jax.eval_shape(self.linearize, state)
+        self.linearize = self.linearize.lower(state).compile()
+        cost_s, g_s, diag_s, data_s, scale_s, _gm, _gn, *gn_s = out
+        state_s = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+        )
+        scalar = jax.ShapeDtypeStruct((), dtype)
+        self.solve_and_try = self.solve_and_try.lower(
+            state_s, data_s, g_s, diag_s, scale_s, scalar, *gn_s
+        ).compile()
+
     def _dogleg_step(self, data, scale, gs, y_gn, radius):
         """Traditional dogleg in the Jacobi-scaled space (reference:
         ``dogleg_strategy.cc`` ComputeTraditionalDoglegStep): interpolate

@@ -6,18 +6,22 @@ TPU-native re-design of the reference lineage's Schur pipeline
 ``schur_jacobi_preconditioner.cc``). Where the reference runs a threaded
 row-chunk loop with template-specialized small GEMMs and lock-guarded
 scatter into a block-random-access S, here everything is batched over the
-observation axis:
+observation axis and assembled **scatter-free** (ops/segment_reduce.py —
+XLA scatter-add serializes on TPU and dominated the profile):
 
-  - per-point ``C = E^T E + D_e`` by ``segment_sum`` of batched ``e x e``
-    outer products, inverted as a batch (3x3 for BAL),
-  - per-observation ``A_i = F_i^T E_i`` and ``Y_i = A_i C^{-1}``,
-  - S assembled by gathering precomputed *observation pairs* (i, j) that
-    share a point and scattering ``Y_i A_j^T`` blocks into a dense S with
-    ``.at[].add`` (the lock-free counterpart of the reference's cell locks),
+  - per-point ``C = E^T E + D_e`` by a planned segment reduction of batched
+    ``e x e`` outer products, inverted in closed form (3x3 cofactors —
+    the reference's ``InvertPSDMatrix<3>`` counterpart),
+  - retained-side (camera) reductions by one-hot matmuls on the MXU,
+  - DENSE_SCHUR's S via a dense per-point W (bounded size, checked) built
+    by a planned gather — every FLOP an einsum,
+  - the reduced camera system factored by the Pallas blocked Cholesky
+    (ops/pallas/cholesky.py) when it fits VMEM, ``lax.linalg.cholesky``
+    otherwise,
   - back-substitution ``dx_e = C^{-1}(b_e - W^T dx_f)`` batched per point.
 
 ITERATIVE_SCHUR never forms S: the matvec
-``S v = (F^T F + D_f) v - W C^{-1} W^T v`` is three gather/einsum/segment-sum
+``S v = (F^T F + D_f) v - W C^{-1} W^T v`` is gather/einsum/segment-reduce
 passes over observations, run inside a ``lax.while_loop`` PCG with the
 SCHUR_JACOBI (block-diagonal-of-S) preconditioner.
 
@@ -41,6 +45,8 @@ from skeres_tpu.core.linear_solvers import (
     preconditioned_conjugate_gradients,
 )
 from skeres_tpu.core.types import PreconditionerType
+from skeres_tpu.ops.segment_reduce import apply_reduce_plan, build_reduce_plan
+from skeres_tpu.ops.small_inverse import batched_spd_inverse
 
 __all__ = ["SchurSolver"]
 
@@ -90,23 +96,27 @@ class SchurSolver:
         glob2ret = np.full(n, -1, dtype=np.int32)
         glob2ret[self.ret_index] = np.arange(self.num_f, dtype=np.int32)
 
-        # per-batch column split: E columns (eliminated slot) vs F columns.
-        # Row-indexed arrays (pidx, fidx, tangent_index) come from the
-        # evaluator's padded device constants so sharding padding stays
-        # consistent (padded rows are weight-zeroed -> contribute nothing).
+        # retained block structure: contiguous (start_in_retained, n_blocks,
+        # t) span per retained group (groups are contiguous in tangent
+        # layout and the eliminated span is removed wholesale)
+        self.ret_blocks = []  # (start_in_retained, n_blocks, t) in group order
+        self._ret_start = {}  # group index -> start in retained coords
+        pos = 0
+        self._ret_group_order = []
+        for gi, g in enumerate(program.groups):
+            if gi == self.elim_group:
+                continue
+            self.ret_blocks.append((pos, g.num_blocks, g.tangent_size))
+            self._ret_start[gi] = pos
+            self._ret_group_order.append(gi)
+            pos += g.num_blocks * g.tangent_size
+
+        # per-batch slot metadata: which slot is eliminated (if any), and
+        # the (col_offset, tangent_size, group, slot) of retained slots
         self.batch_info = []
-        e_batches = []  # indices of batches with an eliminated slot
+        e_batches = []
         for bi, b in enumerate(program.batches):
             _, idx_pad, tidx_pad, _, _ = evaluator._batch_const[bi]
-            cols = np.arange(b.block_tangent_size)
-            col_group = np.concatenate(
-                [
-                    np.full(t, gi)
-                    for gi, t in zip(b.slot_groups, b.tangent_sizes)
-                ]
-            ).astype(np.int64)
-            e_cols = cols[col_group == self.elim_group]
-            f_cols = cols[col_group != self.elim_group]
             e_slots = [
                 s for s, gi in enumerate(b.slot_groups) if gi == self.elim_group
             ]
@@ -116,23 +126,40 @@ class SchurSolver:
                     "supported (mirror of the reference's one-E-block-per-row "
                     "requirement)"
                 )
+            cols = []
+            c = 0
+            ret_slots = []
+            e_col = None
+            for s, (gi, t) in enumerate(zip(b.slot_groups, b.tangent_sizes)):
+                if gi == self.elim_group:
+                    e_col = (c, t)
+                else:
+                    ret_slots.append((s, gi, c, t))
+                c += t
             pidx = (
-                np.asarray(idx_pad[e_slots[0]]).astype(np.int32)
+                jnp.asarray(np.asarray(idx_pad[e_slots[0]]), dtype=jnp.int32)
                 if e_slots
                 else None
             )
-            # retained-local indices of the F columns, per block (B, Tf)
+            # also keep retained-coordinate index map (B, Tf) for the
+            # generic dense-S fallback path
+            col_group = np.concatenate(
+                [np.full(t, gi) for gi, t in zip(b.slot_groups, b.tangent_sizes)]
+            ).astype(np.int64)
+            all_cols = np.arange(b.block_tangent_size)
+            f_cols = all_cols[col_group != self.elim_group]
             fidx = glob2ret[np.asarray(tidx_pad)[:, f_cols]]
             assert (fidx >= 0).all()
             info = dict(
-                e_cols=jnp.asarray(e_cols, dtype=jnp.int32),
+                ret_slots=ret_slots,
+                e_col=e_col,
+                pidx=pidx,
                 f_cols=jnp.asarray(f_cols, dtype=jnp.int32),
                 fidx=jnp.asarray(fidx),
-                pidx=None if pidx is None else jnp.asarray(pidx),
                 tf=len(f_cols),
             )
             self.batch_info.append(info)
-            if e_slots and len(f_cols) > 0:
+            if e_slots and ret_slots:
                 e_batches.append(bi)
 
         if len(e_batches) > 1:
@@ -141,66 +168,43 @@ class SchurSolver:
             )
         self.e_batch = e_batches[0] if e_batches else None
 
-        # retained block structure for the SCHUR_JACOBI preconditioner and
-        # the dense-W gate: contiguous (n_blocks, t) spans per retained group
-        self.ret_blocks = []  # (start_in_retained, n_blocks, t)
-        pos = 0
-        for gi, g in enumerate(program.groups):
-            if gi == self.elim_group:
-                continue
-            self.ret_blocks.append((pos, g.num_blocks, g.tangent_size))
-            pos += g.num_blocks * g.tangent_size
-
-        # Dense-W fast path for DENSE_SCHUR (no scatter): viable when the
-        # E-batch couples one point block to ONE retained block per row
-        # (the BA case) and the dense per-point W = (n_pts, n_cams, f, e)
-        # fits memory. The pair-scatter path below is the general fallback
-        # — profiled 101ms vs <10ms for everything else on v5e (the XLA
-        # scatter-add is the entire bottleneck; see tools/profile_tpu.py).
+        # Dense-W fast path for DENSE_SCHUR: viable when the E-batch couples
+        # one point block to ONE retained block per row (the BA case) and
+        # the dense per-point W = (n_pts, n_cams, f, e) fits memory.
         self.dense_w = None
         if self.e_batch is not None and not iterative:
-            b = program.batches[self.e_batch]
-            info = self.batch_info[self.e_batch]
-            ret_groups = [
-                gi for gi in b.slot_groups if gi != self.elim_group
-            ]
-            if len(b.slot_groups) == 2 and len(ret_groups) == 1:
-                gr = program.groups[ret_groups[0]]
-                f_size = gr.tangent_size
+            bi = self.e_batch
+            b = program.batches[bi]
+            info = self.batch_info[bi]
+            if len(b.slot_groups) == 2 and len(info["ret_slots"]) == 1:
+                s, gi, c, f_size = info["ret_slots"][0]
+                gr = program.groups[gi]
                 n_cams = gr.num_blocks
                 w_bytes = self.num_points * n_cams * f_size * self.e_size * 4
-                if (
-                    len(self.ret_blocks) == 1
-                    and f_size == len(np.asarray(info["f_cols"]))
-                    and w_bytes <= 2 << 30
-                ):
-                    cam_slot = [
-                        s
-                        for s, gi in enumerate(b.slot_groups)
-                        if gi != self.elim_group
-                    ][0]
-                    _, idx_pad, _, _, _ = evaluator._batch_const[self.e_batch]
-                    cam_idx = jnp.asarray(idx_pad[cam_slot])
-                    pidx = info["pidx"]
-                    onehot = (
-                        cam_idx[:, None]
-                        == jnp.arange(n_cams, dtype=cam_idx.dtype)[None, :]
-                    ).astype(evaluator.dtype)
+                if len(self.ret_blocks) == 1 and w_bytes <= 2 << 30:
+                    _, idx_pad, _, _, _ = evaluator._batch_const[bi]
+                    e_slot = b.slot_groups.index(self.elim_group)
+                    cam_idx = np.asarray(idx_pad[s]).astype(np.int64)
+                    pidx_np = np.asarray(idx_pad[e_slot]).astype(np.int64)
+                    lin_idx = pidx_np * n_cams + cam_idx
+                    # each (point, camera) cell receives at most a few
+                    # observations; a planned gather builds W with zero
+                    # scatters (force gather: the waste heuristic compares
+                    # against B, but here the large output IS the result)
+                    w_plan = build_reduce_plan(
+                        lin_idx,
+                        self.num_points * n_cams,
+                        onehot_limit=0,
+                        gather_waste=float("inf"),
+                    )
                     self.dense_w = dict(
                         n_cams=n_cams,
                         f_size=f_size,
-                        cam_idx=cam_idx,
-                        # linear (point, camera) cell index; scatter-ADD (the
-                        # sharding-padded duplicate rows carry zero blocks)
-                        lin_idx=pidx * n_cams + cam_idx,
-                        # one-hot for the block-diagonal F^T F reduction:
-                        # a (B, n_cams) matmul instead of a segment scatter
-                        onehot=onehot,
+                        w_plan=w_plan,
                     )
 
-        # host-side pair enumeration for the S scatter (DENSE_SCHUR):
-        # ordered pairs (i, j) of observations of the same point, i != j
-        # (the i == j diagonal term is handled separately without gathers).
+        # host-side pair enumeration for the S scatter (generic DENSE_SCHUR
+        # fallback): ordered pairs (i, j) of observations of the same point
         if self.e_batch is not None and not iterative and self.dense_w is None:
             pidx_np = np.asarray(self.batch_info[self.e_batch]["pidx"]).astype(
                 np.int64
@@ -242,21 +246,53 @@ class SchurSolver:
             out.append((r, jac * scale[tidx][:, None, :]))
         return tuple(out)
 
-    # -- shared assembly pieces ---------------------------------------------------
+    # -- retained-space helpers ----------------------------------------------------
 
-    def _split(self, bi, r, jac):
+    def _ret_view(self, v_f, gi):
+        """Slice of the retained vector belonging to group gi, as
+        (n_blocks, t)."""
+        start = self._ret_start[gi]
+        g = self.ev.program.groups[gi]
+        return jax.lax.dynamic_slice_in_dim(
+            v_f, start, g.num_blocks * g.tangent_size
+        ).reshape(g.num_blocks, g.tangent_size)
+
+    def _ret_assemble(self, per_group):
+        """per_group: dict gi -> (n_blocks, t) -> retained vector (N_f,)."""
+        parts = []
+        for gi in self._ret_group_order:
+            parts.append(per_group[gi].reshape(-1))
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def _zero_ret_accs(self, dtype):
+        return {
+            gi: jnp.zeros(
+                (
+                    self.ev.program.groups[gi].num_blocks,
+                    self.ev.program.groups[gi].tangent_size,
+                ),
+                dtype=dtype,
+            )
+            for gi in self._ret_group_order
+        }
+
+    def _split_E(self, bi, jac):
         info = self.batch_info[bi]
-        F = jac[:, :, info["f_cols"]] if info["tf"] else None
-        E = jac[:, :, info["e_cols"]] if info["pidx"] is not None else None
-        return F, E, info["fidx"], info["pidx"]
+        if info["e_col"] is None:
+            return None
+        c, t = info["e_col"]
+        return jac[:, :, c : c + t]
 
     def _gather_ge(self, g):
         return g[self.elim_offset : self.elim_offset + self.elim_span].reshape(
             self.num_points, self.e_size
         )
 
+    # -- shared assembly pieces ---------------------------------------------------
+
     def _assemble(self, data, g, d):
-        """Common elimination state: per-obs A, damped C^-1, rhs pieces.
+        """Common elimination state: per-batch jacobians, damped C^-1, rhs
+        pieces.
 
         d: (N,) clamped damping diagonal (already includes mu).
         Returns dict of device arrays.
@@ -270,172 +306,189 @@ class SchurSolver:
         ete = jnp.zeros((self.num_points, e, e), dtype=g.dtype)
         per_batch = []
         for bi, (r, jac) in enumerate(data):
-            F, E, fidx, pidx = self._split(bi, r, jac)
+            E = self._split_E(bi, jac)
             if E is not None:
-                ete = ete.at[pidx].add(jnp.einsum("bme,bmf->bef", E, E))
-            per_batch.append((r, F, E, fidx, pidx))
+                outer = jnp.einsum("bme,bmf->bef", E, E).reshape(-1, e * e)
+                s_e = self.ev.program.batches[bi].slot_groups.index(
+                    self.elim_group
+                )
+                ete = ete + self.ev.slot_reduce(bi, s_e, outer).reshape(
+                    self.num_points, e, e
+                )
+            per_batch.append((r, jac, E))
 
         ete = ete + jax.vmap(jnp.diag)(d_e)
-        # batched small PSD inverse (e = 3 for BAL): Cholesky-based
-        chol = jax.vmap(jnp.linalg.cholesky)(ete)
-        eye = jnp.broadcast_to(jnp.eye(e, dtype=g.dtype), ete.shape)
-        cinv = jax.vmap(
-            lambda l, i: jax.scipy.linalg.cho_solve((l, True), i)
-        )(chol, eye)
-        return dict(
-            per_batch=per_batch, cinv=cinv, g_f=g_f, d_f=d_f, g_e=g_e
-        )
+        # closed-form batched SPD inverse (3x3 cofactors for BAL)
+        cinv = batched_spd_inverse(ete)
+        return dict(per_batch=per_batch, cinv=cinv, g_f=g_f, d_f=d_f, g_e=g_e)
 
-    def _w_ct_we_ops(self, asm):
-        """Build W v_e (points->cameras) and W^T v_f (cameras->points)."""
-        per_batch = asm["per_batch"]
+    def _w_apply(self, asm, v_e):
+        """W v_e (points -> cameras): (n_pt, e) -> (N_f,)."""
+        accs = self._zero_ret_accs(v_e.dtype)
+        for bi, (r, jac, E) in enumerate(asm["per_batch"]):
+            info = self.batch_info[bi]
+            if E is None or not info["ret_slots"]:
+                continue
+            Ev = jnp.einsum("bme,be->bm", E, v_e[info["pidx"]])
+            for s, gi, c, t in info["ret_slots"]:
+                Fs = jac[:, :, c : c + t]
+                val = jnp.einsum("bmf,bm->bf", Fs, Ev)
+                accs[gi] = accs[gi] + self.ev.slot_reduce(bi, s, val)
+        return self._ret_assemble(accs)
 
-        def w_apply(v_e):  # (n_pt, e) -> (N_f,)
-            out = jnp.zeros((self.num_f,), dtype=v_e.dtype)
-            for r, F, E, fidx, pidx in per_batch:
-                if E is None or F is None:
-                    continue
-                fe_v = jnp.einsum("bmf,bme,be->bf", F, E, v_e[pidx])
-                out = out.at[fidx].add(fe_v)
-            return out
-
-        def wt_apply(v_f):  # (N_f,) -> (n_pt, e)
-            out = jnp.zeros((self.num_points, self.e_size), dtype=v_f.dtype)
-            for r, F, E, fidx, pidx in per_batch:
-                if E is None or F is None:
-                    continue
-                ef_v = jnp.einsum(
-                    "bme,bmf,bf->be", E, F, v_f[fidx]
-                )
-                out = out.at[pidx].add(ef_v)
-            return out
-
-        return w_apply, wt_apply
+    def _wt_apply(self, asm, v_f):
+        """W^T v_f (cameras -> points): (N_f,) -> (n_pt, e)."""
+        out = jnp.zeros((self.num_points, self.e_size), dtype=v_f.dtype)
+        for bi, (r, jac, E) in enumerate(asm["per_batch"]):
+            info = self.batch_info[bi]
+            if E is None or not info["ret_slots"]:
+                continue
+            _, idx_pad, _, _, _ = self.ev._batch_const[bi]
+            Fv = jnp.zeros((jac.shape[0], jac.shape[1]), dtype=v_f.dtype)
+            for s, gi, c, t in info["ret_slots"]:
+                Fs = jac[:, :, c : c + t]
+                vs = self._ret_view(v_f, gi)[idx_pad[s]]  # (B, t)
+                Fv = Fv + jnp.einsum("bmf,bf->bm", Fs, vs)
+            ef_v = jnp.einsum("bme,bm->be", E, Fv)
+            s_e = self.ev.program.batches[bi].slot_groups.index(self.elim_group)
+            out = out + self.ev.slot_reduce(bi, s_e, ef_v)
+        return out
 
     def _ftf_apply(self, asm, v_f):
         """(F^T F + D_f) v."""
-        out = asm["d_f"] * v_f
-        for r, F, E, fidx, pidx in asm["per_batch"]:
-            if F is None:
+        accs = self._zero_ret_accs(v_f.dtype)
+        for bi, (r, jac, E) in enumerate(asm["per_batch"]):
+            info = self.batch_info[bi]
+            if not info["ret_slots"]:
                 continue
-            fv = jnp.einsum("bmf,bf->bm", F, v_f[fidx])
-            out = out.at[fidx].add(jnp.einsum("bmf,bm->bf", F, fv))
-        return out
+            _, idx_pad, _, _, _ = self.ev._batch_const[bi]
+            Fv = jnp.zeros((jac.shape[0], jac.shape[1]), dtype=v_f.dtype)
+            for s, gi, c, t in info["ret_slots"]:
+                Fs = jac[:, :, c : c + t]
+                vs = self._ret_view(v_f, gi)[idx_pad[s]]
+                Fv = Fv + jnp.einsum("bmf,bf->bm", Fs, vs)
+            for s, gi, c, t in info["ret_slots"]:
+                Fs = jac[:, :, c : c + t]
+                accs[gi] = accs[gi] + self.ev.slot_reduce(
+                    bi, s, jnp.einsum("bmf,bm->bf", Fs, Fv)
+                )
+        return asm["d_f"] * v_f + self._ret_assemble(accs)
 
     def _schur_rhs(self, asm):
         """b_f - W C^{-1} b_e with b = -g."""
-        w_apply, _ = self._w_ct_we_ops(asm)
         cinv_be = jnp.einsum("pef,pf->pe", asm["cinv"], -asm["g_e"])
-        return -asm["g_f"] - w_apply(cinv_be)
+        return -asm["g_f"] - self._w_apply(asm, cinv_be)
 
     def _back_substitute(self, asm, dx_f):
-        _, wt_apply = self._w_ct_we_ops(asm)
-        b_e = -asm["g_e"] - wt_apply(dx_f)
+        b_e = -asm["g_e"] - self._wt_apply(asm, dx_f)
         return jnp.einsum("pef,pf->pe", asm["cinv"], b_e)
 
     def _schur_jacobi_blocks(self, asm):
-        """Block diagonal of S per retained block (for the preconditioner
-        and for DENSE_SCHUR's diagonal assembly path)."""
-        outs = []
-        for start, nb, t in self.ret_blocks:
-            outs.append(jnp.zeros((nb, t, t), dtype=asm["g_f"].dtype))
+        """Block diagonal of S per retained block (for the SCHUR_JACOBI
+        preconditioner). Cross-slot contributions to the same retained
+        block (a residual touching one block through two slots) are
+        dropped — same approximation quality class as the reference's
+        preconditioner assembly."""
+        outs = {
+            gi: jnp.zeros(
+                (
+                    self.ev.program.groups[gi].num_blocks,
+                    self.ev.program.groups[gi].tangent_size,
+                    self.ev.program.groups[gi].tangent_size,
+                ),
+                dtype=asm["g_f"].dtype,
+            )
+            for gi in self._ret_group_order
+        }
+        for bi, (r, jac, E) in enumerate(asm["per_batch"]):
+            info = self.batch_info[bi]
+            for s, gi, c, t in info["ret_slots"]:
+                Fs = jac[:, :, c : c + t]
+                ftf = jnp.einsum("bmf,bmg->bfg", Fs, Fs)
+                if E is not None:
+                    A = jnp.einsum("bmf,bme->bfe", Fs, E)
+                    Y = jnp.einsum(
+                        "bfe,beg->bfg", A, asm["cinv"][info["pidx"]]
+                    )
+                    ftf = ftf - jnp.einsum("bfe,bge->bfg", Y, A)
+                red = self.ev.slot_reduce(bi, s, ftf.reshape(-1, t * t))
+                outs[gi] = outs[gi] + red.reshape(-1, t, t)
 
-        def scatter_block(outs, fidx, contrib):
-            # fidx (B, Tf) retained indices; contrib (B, Tf, Tf).
-            # Each residual block's F columns may span several retained
-            # blocks; route each (Tf, Tf) sub-square to its retained block.
-            for k, (start, nb, t) in enumerate(self.ret_blocks):
-                in_blk = (fidx >= start) & (fidx < start + nb * t)
-                # local block id and coordinate per column
-                blk = jnp.where(in_blk, (fidx - start) // t, 0)
-                coord = jnp.where(in_blk, (fidx - start) % t, 0)
-                # only add (col_a, col_b) pairs within the same block
-                same = (
-                    in_blk[:, :, None]
-                    & in_blk[:, None, :]
-                    & (blk[:, :, None] == blk[:, None, :])
-                )
-                c = jnp.where(same, contrib, 0.0)
-                outs[k] = outs[k].at[
-                    blk[:, :, None], coord[:, :, None], coord[:, None, :]
-                ].add(jnp.where(same, c, 0.0))
-            return outs
-
-        for r, F, E, fidx, pidx in asm["per_batch"]:
-            if F is None:
-                continue
-            ftf = jnp.einsum("bmf,bmg->bfg", F, F)
-            if E is not None:
-                A = jnp.einsum("bmf,bme->bfe", F, E)  # (B, Tf, e)
-                Y = jnp.einsum("bfe,beg->bfg", A, asm["cinv"][pidx])
-                ftf = ftf - jnp.einsum("bfe,bge->bfg", Y, A)
-            outs = scatter_block(outs, fidx, ftf)
-
-        # add damping to the diagonal of each block
         d_f = asm["d_f"]
-        for k, (start, nb, t) in enumerate(self.ret_blocks):
-            dd = d_f[start : start + nb * t].reshape(nb, t)
-            outs[k] = outs[k] + jax.vmap(jnp.diag)(dd)
-        return outs
+        blocks = []
+        for (start, nb, t), gi in zip(self.ret_blocks, self._ret_group_order):
+            dd = jax.lax.dynamic_slice_in_dim(d_f, start, nb * t).reshape(nb, t)
+            blocks.append(outs[gi] + jax.vmap(jnp.diag)(dd))
+        return blocks
 
     # -- DENSE_SCHUR -----------------------------------------------------------------
 
     def _dense_s_dense_w(self, asm):
-        """Scatter-free S assembly (BA fast path): everything is one-hot
-        matmuls and batched einsums on the MXU.
+        """Scatter-free S assembly (BA fast path): everything is planned
+        gathers and batched einsums on the MXU.
 
           S = blockdiag(F^T F) - sum_p W_p C_p^{-1} W_p^T + diag(d_f)
 
         with W (n_pts, n_cams, f, e) materialized densely (bounded size,
-        checked at construction). Replaces the observation-pair scatter
-        that dominated the profile (tools/profile_tpu.py: 101ms -> ~2ms).
-        """
+        checked at construction)."""
         dw = self.dense_w
         nc, f, e = dw["n_cams"], dw["f_size"], self.e_size
         dtype = asm["g_f"].dtype
-        r, F, E, fidx, pidx = asm["per_batch"][self.e_batch]
+        bi = self.e_batch
+        info = self.batch_info[bi]
+        r, jac, E = asm["per_batch"][bi]
+        s, gi, c, t = info["ret_slots"][0]
+        Fs = jac[:, :, c : c + t]
 
-        # block-diagonal F^T F via one-hot reduction
-        ftf = jnp.einsum("bmf,bmg->bfg", F, F)  # (B, f, f)
-        diag_blocks = jnp.einsum("bc,bfg->cfg", dw["onehot"], ftf)
+        # block-diagonal F^T F via the slot's planned reduction (one-hot
+        # matmul for the few-camera case)
+        ftf = jnp.einsum("bmf,bmg->bfg", Fs, Fs)  # (B, f, f)
+        diag_blocks = self.ev.slot_reduce(bi, s, ftf.reshape(-1, f * f)).reshape(
+            nc, f, f
+        )
 
-        # dense W and the correction term
-        a = jnp.einsum("bmf,bme->bfe", F, E)  # (B, f, e)
-        w = jnp.zeros((self.num_points * nc, f, e), dtype=dtype)
-        w = w.at[dw["lin_idx"]].add(a)
-        w = w.reshape(self.num_points, nc, f, e)
+        # dense W via the precomputed (point, camera)-cell gather plan
+        a = jnp.einsum("bmf,bme->bfe", Fs, E)  # (B, f, e)
+        w = apply_reduce_plan(dw["w_plan"], a.reshape(-1, f * e)).reshape(
+            self.num_points, nc, f, e
+        )
         y = jnp.einsum("pcfe,peg->pcfg", w, asm["cinv"])
         corr = jnp.einsum("pcfe,pdge->cfdg", y, w)  # (nc, f, nc, f)
 
-        s = -corr.reshape(nc * f, nc * f)
+        s_mat = -corr.reshape(nc * f, nc * f)
         rows = jnp.arange(nc * f).reshape(nc, f)
-        s = s.at[rows[:, :, None], rows[:, None, :]].add(diag_blocks)
-        s = s + jnp.diag(asm["d_f"])
+        s_mat = s_mat.at[rows[:, :, None], rows[:, None, :]].add(diag_blocks)
+        s_mat = s_mat + jnp.diag(asm["d_f"])
 
         # any other batches (e.g. camera priors) take the generic path;
         # they are tiny compared to the observation batch
-        for bi, (rb, Fb, Eb, fidxb, pidxb) in enumerate(asm["per_batch"]):
-            if bi == self.e_batch or Fb is None:
+        for bj, (rb, jacb, Eb) in enumerate(asm["per_batch"]):
+            if bj == self.e_batch or self.batch_info[bj]["tf"] == 0:
                 continue
+            infob = self.batch_info[bj]
+            Fb = jacb[:, :, infob["f_cols"]]
             ftfb = jnp.einsum("bmf,bmg->bfg", Fb, Fb)
-            s = s.at[fidxb[:, :, None], fidxb[:, None, :]].add(ftfb)
-        return s
+            fidxb = infob["fidx"]
+            s_mat = s_mat.at[fidxb[:, :, None], fidxb[:, None, :]].add(ftfb)
+        return s_mat
 
     def _dense_s(self, asm):
         """Materialize S (N_f, N_f)."""
         if self.dense_w is not None:
             return self._dense_s_dense_w(asm)
-        nf = self.num_f
         dtype = asm["g_f"].dtype
         s = jnp.diag(asm["d_f"])
         A_all = None
-        for r, F, E, fidx, pidx in asm["per_batch"]:
-            if F is None:
+        for bi, (r, jac, E) in enumerate(asm["per_batch"]):
+            info = self.batch_info[bi]
+            if info["tf"] == 0:
                 continue
+            F = jac[:, :, info["f_cols"]]
+            fidx = info["fidx"]
             ftf = jnp.einsum("bmf,bmg->bfg", F, F)
             if E is not None:
                 A = jnp.einsum("bmf,bme->bfe", F, E)
-                Y = jnp.einsum("bfe,beg->bfg", A, asm["cinv"][pidx])
+                Y = jnp.einsum("bfe,beg->bfg", A, asm["cinv"][info["pidx"]])
                 ftf = ftf - jnp.einsum("bfe,bge->bfg", Y, A)  # i == j pair
                 A_all, Y_all, fidx_all = A, Y, fidx
             s = s.at[fidx[:, :, None], fidx[:, None, :]].add(ftf)
@@ -450,6 +503,28 @@ class SchurSolver:
             s = s.at[fi[:, :, None], fj[:, None, :]].add(contrib)
         return s
 
+    def _factor_solve(self, s, rhs):
+        """Solve S x = rhs; Pallas VMEM Cholesky when it fits, XLA
+        fallback otherwise. Returns (x, solve_fn) so refinement can reuse
+        the factorization."""
+        from skeres_tpu.ops.pallas.cholesky import (
+            MAX_PALLAS_CHOLESKY_N,
+            chol_solve,
+            cholesky_inverse_factor,
+        )
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and s.shape[0] <= MAX_PALLAS_CHOLESKY_N
+            and s.dtype == jnp.float32
+        )
+        if use_pallas:
+            linv = cholesky_inverse_factor(s)
+            return chol_solve(linv, rhs), lambda b: chol_solve(linv, b)
+        l = jax.lax.linalg.cholesky(s)
+        solve = lambda b: jax.scipy.linalg.cho_solve((l, True), b)
+        return solve(rhs), solve
+
     # -- public interface used by the minimizer -----------------------------------
 
     def solve_damped(self, data, g, diag, mu, min_diagonal, max_diagonal):
@@ -459,44 +534,35 @@ class SchurSolver:
 
         if not self.iterative:
             s = self._dense_s(asm)
-            l = jax.lax.linalg.cholesky(s)
-            dx_f = jax.scipy.linalg.cho_solve((l, True), rhs)
+            dx_f, solve = self._factor_solve(s, rhs)
             # mixed-precision iterative refinement on the reduced camera
             # system (reference: use_mixed_precision_solves)
             for _ in range(self.refinement_iterations):
                 r64 = rhs.astype(jnp.float64) - s.astype(jnp.float64) @ (
                     dx_f.astype(jnp.float64)
                 )
-                dx_f = dx_f + jax.scipy.linalg.cho_solve(
-                    (l, True), r64.astype(s.dtype)
-                )
+                dx_f = dx_f + solve(r64.astype(s.dtype))
             iters = jnp.ones((), dtype=jnp.int32)
         else:
-            w_apply, wt_apply = self._w_ct_we_ops(asm)
 
             def s_matvec(v):
-                wc = jnp.einsum(
-                    "pef,pf->pe", asm["cinv"], wt_apply(v)
-                )
-                return self._ftf_apply(asm, v) - w_apply(wc)
+                wc = jnp.einsum("pef,pf->pe", asm["cinv"], self._wt_apply(asm, v))
+                return self._ftf_apply(asm, v) - self._w_apply(asm, wc)
 
             if self.preconditioner == PreconditionerType.SCHUR_JACOBI:
                 blocks = self._schur_jacobi_blocks(asm)
-                chols = [
-                    jax.vmap(jnp.linalg.cholesky)(blk) for blk in blocks
-                ]
+                binvs = [batched_spd_inverse(blk) for blk in blocks]
 
                 def precond(v):
                     parts = []
-                    for (start, nb, t), l in zip(self.ret_blocks, chols):
-                        vb = v[start : start + nb * t].reshape(nb, t)
-                        xb = jax.vmap(
-                            lambda li, bi: jax.scipy.linalg.cho_solve(
-                                (li, True), bi
-                            )
-                        )(l, vb)
-                        parts.append(xb.reshape(-1))
-                    return jnp.concatenate(parts)
+                    for (start, nb, t), binv in zip(self.ret_blocks, binvs):
+                        vb = jax.lax.dynamic_slice_in_dim(
+                            v, start, nb * t
+                        ).reshape(nb, t)
+                        parts.append(
+                            jnp.einsum("bef,bf->be", binv, vb).reshape(-1)
+                        )
+                    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
             else:  # JACOBI / IDENTITY fall back to diagonal scaling
                 d_f = asm["d_f"] + self._ftf_diag(asm)
@@ -521,18 +587,20 @@ class SchurSolver:
         return dx, iters
 
     def _ftf_diag(self, asm):
-        out = jnp.zeros((self.num_f,), dtype=asm["g_f"].dtype)
-        for r, F, E, fidx, pidx in asm["per_batch"]:
-            if F is None:
-                continue
-            out = out.at[fidx].add(jnp.sum(F * F, axis=1))
-        return out
+        accs = self._zero_ret_accs(asm["g_f"].dtype)
+        for bi, (r, jac, E) in enumerate(asm["per_batch"]):
+            info = self.batch_info[bi]
+            for s, gi, c, t in info["ret_slots"]:
+                Fs = jac[:, :, c : c + t]
+                accs[gi] = accs[gi] + self.ev.slot_reduce(
+                    bi, s, jnp.sum(Fs * Fs, axis=1)
+                )
+        return self._ret_assemble(accs)
 
     def jtj_matvec(self, data, v):
         """Full-space (J^T J) v from the resident blocks (model cost)."""
-        out = jnp.zeros_like(v)
-        for (r, jac), const in zip(data, self.ev._batch_const):
-            tidx = const[2]
-            jv = jnp.einsum("bmi,bi->bm", jac, v[tidx])
-            out = out.at[tidx].add(jnp.einsum("bmi,bm->bi", jac, jv))
-        return out
+        blocks = [
+            BatchBlocks(r, jac, self.ev._batch_const[bi][2])
+            for bi, (r, jac) in enumerate(data)
+        ]
+        return self.ev.jtj_matvec(blocks, v)

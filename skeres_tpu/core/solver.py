@@ -207,6 +207,11 @@ def solve(
             return summary
 
     state = evaluator.prepare_state(program.initial_state(evaluator.dtype))
+    # AOT-compile the device programs now so minimizer time measures
+    # steady-state execution (compilation is preprocessing, mirroring the
+    # reference's preprocessor/minimizer time split in Solver::Summary)
+    if hasattr(minimizer, "compile_programs"):
+        minimizer.compile_programs(state)
     summary.preprocessor_time_in_seconds = time.time() - t0
 
     # -- minimize ---------------------------------------------------------------

@@ -1,0 +1,180 @@
+"""Pallas TPU kernel: blocked dense Cholesky factor + explicit L^{-1}.
+
+TPU-native replacement for the reference lineage's dense Cholesky backends
+(``internal/ceres/dense_cholesky.cc``: Eigen LLT / LAPACK / cuDSS) used by
+DENSE_NORMAL_CHOLESKY and DENSE_SCHUR's reduced camera system. XLA's
+``lax.linalg.cholesky`` on TPU is latency-bound for the few-hundred-row
+matrices a bundle-adjustment Schur complement produces (hundreds of
+sequential dynamic-slice steps through HBM); this kernel keeps the whole
+matrix in VMEM and restructures the work so nearly all FLOPs are masked
+full-width GEMMs on the MXU:
+
+  phase 1 (factor):  for each 128-wide block column k
+      - unblocked Cholesky of the diagonal block (fori, masked rank-1)
+      - explicit inverse of that 128x128 lower block (forward substitution)
+      - panel scaled by one (n,128)x(128,128) GEMM
+      - trailing update by one (n,n) GEMM (rows above the block are zeroed,
+        so the update self-masks)
+  phase 2 (invert):  blocked forward substitution L X = I, one
+      (128,n)x(n,n) GEMM per block row, producing L^{-1} outright.
+
+Returning L^{-1} (not just L) turns every subsequent triangular solve —
+also latency-bound in XLA — into two GEMVs: ``x = L^{-T}(L^{-1} b)``.
+The extra FLOPs (~3x the classical n^3/3) are free at these sizes because
+the MXU is otherwise idle. Sizes are capped so everything fits VMEM;
+callers fall back to ``lax.linalg.cholesky`` beyond the cap (and on
+non-TPU backends this module runs in interpret mode for tests).
+
+Mosaic cannot lower ``dynamic_slice`` on *values*, only on refs — all
+row/column extraction inside the fori bodies is done with masked iota
+selects instead.
+
+The LM damping enters through the matrix itself, so each damped solve
+refactors — same behavior as the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["cholesky_inverse_factor", "chol_solve", "MAX_PALLAS_CHOLESKY_N"]
+
+NB = 128  # block size: one MXU tile
+MAX_PALLAS_CHOLESKY_N = 1024  # (n^2 + n*NB) * 4B * ~3 buffers must fit VMEM
+
+
+def _chol_unblocked(a, nb):
+    """In-register Cholesky of an (nb, nb) block; returns lower L."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+
+    def body(j, a):
+        at_jj = (ii == j) & (jj == j)
+        ajj = jnp.sum(jnp.where(at_jj, a, 0.0))
+        inv_sqrt = jax.lax.rsqrt(jnp.maximum(ajj, jnp.finfo(a.dtype).tiny))
+        col = jnp.sum(jnp.where(jj == j, a, 0.0), axis=1, keepdims=True)  # (nb,1)
+        col = jnp.where(ii[:, :1] >= j, col * inv_sqrt, 0.0)
+        # trailing rank-1 update for columns > j; write column j
+        a = jnp.where(jj > j, a - col * col.reshape(1, nb), a)
+        a = jnp.where(jj == j, col, a)
+        return a
+
+    a = jax.lax.fori_loop(0, nb, body, a)
+    return jnp.where(jj <= ii, a, 0.0)
+
+
+def _tri_inv_unblocked(l, nb):
+    """Explicit inverse of an (nb, nb) lower-triangular block by forward
+    substitution (row at a time; each step one VPU matvec)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+
+    def body(i, x):
+        li = jnp.sum(jnp.where(ii == i, l, 0.0), axis=0, keepdims=True)  # (1,nb)
+        lii = jnp.sum(jnp.where((ii == i) & (jj == i), l, 0.0))
+        li_strict = jnp.where(jj[:1, :] < i, li, 0.0)
+        ei = (jj[:1, :] == i).astype(l.dtype)  # (1, nb)
+        xi = (ei - jnp.dot(li_strict, x, preferred_element_type=l.dtype,
+                     precision=jax.lax.Precision.HIGHEST)) / lii
+        return jnp.where(ii == i, xi, x)
+
+    return jax.lax.fori_loop(0, nb, body, jnp.zeros_like(l))
+
+
+def _chol_inv_kernel(a_ref, linv_ref, l_ref, *, n):
+    nblocks = n // NB
+    dtype = a_ref.dtype
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    rows_n1 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    l_ref[:] = a_ref[:]
+
+    # -- phase 1: blocked right-looking factorization in l_ref ------------
+    def factor_step(k, _):
+        off = k * NB
+        end = off + NB
+        diag = l_ref[pl.ds(off, NB), pl.ds(off, NB)]
+        lkk = _chol_unblocked(diag, NB)
+        vkk = _tri_inv_unblocked(lkk, NB)
+        l_ref[pl.ds(off, NB), pl.ds(off, NB)] = lkk
+
+        strip = l_ref[:, pl.ds(off, NB)]  # (n, NB), diag block now = Lkk
+        below = jnp.where(rows_n1 >= end, strip, 0.0)
+        panel = jnp.dot(below, vkk.T, preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)  # (n, NB)
+        l_ref[:, pl.ds(off, NB)] = jnp.where(rows_n1 >= end, panel, strip)
+
+        # trailing update A -= P P^T: panel rows < end are zero, so the
+        # update is automatically confined to rows,cols >= end
+        update = jnp.dot(panel, panel.T, preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)
+        l_ref[:] = l_ref[:] - update
+        return 0
+
+    jax.lax.fori_loop(0, nblocks, factor_step, 0)
+    l_ref[:] = jnp.where(col_ids <= row_ids, l_ref[:], jnp.zeros((n, n), dtype))
+
+    # -- phase 2: blocked forward substitution L X = I -> X = L^{-1} ------
+    linv_ref[:] = jnp.zeros((n, n), dtype)
+    rows_bn = jax.lax.broadcasted_iota(jnp.int32, (NB, n), 0)
+    cols_bn = jax.lax.broadcasted_iota(jnp.int32, (NB, n), 1)
+
+    def inv_step(k, _):
+        off = k * NB
+        diag = l_ref[pl.ds(off, NB), pl.ds(off, NB)]
+        vkk = _tri_inv_unblocked(diag, NB)
+        lrow = l_ref[pl.ds(off, NB), :]  # (NB, n)
+        lrow_strict = jnp.where(cols_bn < off, lrow, 0.0)
+        acc = jnp.dot(lrow_strict, linv_ref[:], preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)
+        eye_rows = (cols_bn == off + rows_bn).astype(dtype)
+        xrow = jnp.dot(vkk, eye_rows - acc, preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)
+        linv_ref[pl.ds(off, NB), :] = xrow
+        return 0
+
+    jax.lax.fori_loop(0, nblocks, inv_step, 0)
+
+
+def _use_interpret():
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _chol_inv_padded(a, n_pad):
+    n = a.shape[0]
+    if n_pad != n:
+        # pad with an identity tail so the factor stays well-defined
+        pad = n_pad - n
+        a = jnp.pad(a, ((0, pad), (0, pad)))
+        a = a.at[jnp.arange(n, n_pad), jnp.arange(n, n_pad)].set(1.0)
+    linv = pl.pallas_call(
+        functools.partial(_chol_inv_kernel, n=n_pad),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), a.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n_pad, n_pad), a.dtype)],
+        interpret=_use_interpret(),
+    )(a)
+    return linv[:n, :n]
+
+
+def cholesky_inverse_factor(a):
+    """Return ``inv(L)`` for SPD ``a = L L^T`` (lower). ``a`` must satisfy
+    ``a.shape[0] <= MAX_PALLAS_CHOLESKY_N``; callers gate on that."""
+    n = a.shape[0]
+    n_pad = max(NB, -(-n // NB) * NB)
+    return _chol_inv_padded(a, n_pad)
+
+
+def chol_solve(linv, b):
+    """Solve ``A x = b`` given ``linv = inv(L)``: two GEMVs, no
+    triangular-solve latency."""
+    return linv.T @ (linv @ b)

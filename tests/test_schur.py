@@ -117,12 +117,11 @@ def test_iterative_schur_matvec_matches_dense_s(small_bal):
     asm = schur._assemble(data, g, d)
     s_dense = schur._dense_s(asm)
 
-    w_apply, wt_apply = schur._w_ct_we_ops(asm)
     rng = np.random.default_rng(3)
     for _ in range(3):
         v = jnp.asarray(rng.normal(size=(schur.num_f,)))
-        sv_implicit = schur._ftf_apply(asm, v) - w_apply(
-            jnp.einsum("pef,pf->pe", asm["cinv"], wt_apply(v))
+        sv_implicit = schur._ftf_apply(asm, v) - schur._w_apply(
+            asm, jnp.einsum("pef,pf->pe", asm["cinv"], schur._wt_apply(asm, v))
         )
         np.testing.assert_allclose(
             np.asarray(s_dense @ v), np.asarray(sv_implicit), rtol=1e-8, atol=1e-9

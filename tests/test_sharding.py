@@ -62,7 +62,7 @@ def test_sharded_solve_matches_single_device(mesh, bal):
         problem, cams, pts = build_bal_problem(bal)
         options = SolverOptions(
             linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
-            max_num_iterations=5,
+            max_num_iterations=40,
             mesh=mesh_arg,
         )
         summary = st.solve(options, problem)
@@ -72,7 +72,13 @@ def test_sharded_solve_matches_single_device(mesh, bal):
     s8 = run(mesh)
     assert s8.num_devices == len(jax.devices())
     np.testing.assert_allclose(s8.initial_cost, s1.initial_cost, rtol=1e-10)
-    np.testing.assert_allclose(s8.final_cost, s1.final_cost, rtol=1e-6)
+    # the sharded path uses scatter reductions, the single-device path
+    # planned gather/one-hot reductions (ops/segment_reduce.py); different
+    # summation orders perturb the LM trajectory, so compare the *converged*
+    # cost rather than a bitwise-identical trajectory
+    assert s1.termination_type == TerminationType.CONVERGENCE
+    assert s8.termination_type == TerminationType.CONVERGENCE
+    np.testing.assert_allclose(s8.final_cost, s1.final_cost, rtol=1e-5)
 
 
 @requires_multidevice

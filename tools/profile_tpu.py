@@ -8,14 +8,21 @@ matvec, full solve_and_try. Prints a table — run on the real chip to decide
 where Pallas/assembly-rework effort goes.
 """
 
+import os
+import sys
 import time
+
+# `python tools/profile_tpu.py` puts tools/ (not the repo root) on sys.path;
+# prepend the repo root so `skeres_tpu` imports without touching PYTHONPATH
+# (which would clobber the axon TPU plugin's site dir).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, n=5):
+def timeit(fn, *args, n=30):
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.time()
