@@ -301,7 +301,9 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
         dtype = self.ev.dtype
 
         cost, g, diag, data, scale, g_max = self._first_linearize(state)
-        cost_f = float(jax.block_until_ready(cost))
+        # single batched host fetch: every scalar pulled individually is a
+        # full round-trip over a (possibly network-attached) chip
+        cost_f, g_max = (float(v) for v in jax.device_get((cost, g_max)))
         s.num_jacobian_evaluations += 1
         if not np.isfinite(cost_f):
             s.termination_type = TerminationType.FAILURE
@@ -312,13 +314,13 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
             IterationSummary(
                 iteration=0,
                 cost=cost_f + s.fixed_cost,
-                gradient_max_norm=float(g_max),
+                gradient_max_norm=g_max,
                 trust_region_radius=float(o.initial_trust_region_radius),
                 step_is_valid=True,
                 step_is_successful=True,
             )
         )
-        if float(g_max) <= o.gradient_tolerance:
+        if g_max <= o.gradient_tolerance:
             s.termination_type = TerminationType.CONVERGENCE
             s.message = "Gradient tolerance reached."
             return state
@@ -357,16 +359,21 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
                 _n_invalid,
                 hist,
             ) = carry
-            it_chunk = int(jax.block_until_ready(it_chunk))
-            term_code = int(term)
-            s.num_successful_steps += int(n_succ)
-            s.num_unsuccessful_steps += int(n_unsucc)
+            # one batched device->host fetch for all chunk statistics
+            # (scalar-by-scalar pulls are round-trips; see minimize() above)
+            it_chunk, term_code, n_succ_h, n_unsucc_h, hist_h = jax.device_get(
+                (it_chunk, term, n_succ, n_unsucc, hist)
+            )
+            it_chunk = int(it_chunk)
+            term_code = int(term_code)
+            s.num_successful_steps += int(n_succ_h)
+            s.num_unsuccessful_steps += int(n_unsucc_h)
             s.num_linear_solves += it_chunk
-            s.num_jacobian_evaluations += int(n_succ)
+            s.num_jacobian_evaluations += int(n_succ_h)
             s.num_residual_evaluations += it_chunk
 
             h_cost, h_radius, h_step, h_gmax, h_rd, h_acc, h_li = [
-                np.asarray(h) for h in hist
+                np.asarray(h) for h in hist_h
             ]
             now = time.time() - start
             for k in range(it_chunk):

@@ -384,11 +384,11 @@ class TrustRegionMinimizer:
 
         t0 = time.time()
         cost, g, diag, data, scale, g_max_norm, g_norm, *gn = self.linearize(state)
-        jax.block_until_ready(cost)
+        cost, g_max_norm, g_norm = (
+            float(v) for v in jax.device_get((cost, g_max_norm, g_norm))
+        )
         s.jacobian_evaluation_time_in_seconds += time.time() - t0
         s.num_jacobian_evaluations += 1
-
-        cost = float(cost)
         if not np.isfinite(cost):
             s.termination_type = TerminationType.FAILURE
             s.message = "Initial cost evaluation produced non-finite values."
@@ -449,15 +449,18 @@ class TrustRegionMinimizer:
                 lin_iters,
                 dx,
             ) = self.solve_and_try(state, data, g, diag, scale, radius_dev, *gn)
-            new_cost = float(jax.block_until_ready(new_cost))
+            # one batched device->host fetch: per-scalar pulls are full
+            # round-trips (dominant over a network-attached chip)
+            new_cost, model_cost_change, step_norm_f, x_norm_f, lin_iters = (
+                float(v)
+                for v in jax.device_get(
+                    (new_cost, model_cost_change, step_norm, x_norm, lin_iters)
+                )
+            )
             step_solver_time = time.time() - t0
             s.linear_solver_time_in_seconds += step_solver_time
             s.num_linear_solves += 1
             s.num_residual_evaluations += 1
-
-            model_cost_change = float(model_cost_change)
-            step_norm_f = float(step_norm)
-            x_norm_f = float(x_norm)
 
             step_is_valid = (
                 np.isfinite(new_cost)
@@ -533,17 +536,19 @@ class TrustRegionMinimizer:
                     g_norm,
                     *gn,
                 ) = self.linearize(state)
-                jax.block_until_ready(cost_d)
+                cost, gmax_f, gnorm_f = (
+                    float(v)
+                    for v in jax.device_get((cost_d, g_max_norm, g_norm))
+                )
                 s.jacobian_evaluation_time_in_seconds += time.time() - t0
                 s.num_jacobian_evaluations += 1
-                cost = float(cost_d)
                 if self.options.jacobi_scaling:
                     # reference keeps iteration-zero scaling; we refresh it each
                     # accepted step (pure improvement, still recompile-free)
                     scale = scale_new
 
-                it.gradient_max_norm = float(g_max_norm)
-                it.gradient_norm = float(g_norm)
+                it.gradient_max_norm = gmax_f
+                it.gradient_norm = gnorm_f
                 it.step_is_successful = True
             else:
                 radius = radius / decrease_factor
