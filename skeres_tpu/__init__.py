@@ -34,6 +34,7 @@ from skeres_tpu.models.manifolds import (
     AngleManifold,
     EigenQuaternionManifold,
     EuclideanManifold,
+    LineManifold,
     Manifold,
     ProductManifold,
     QuaternionManifold,
@@ -52,6 +53,10 @@ def __getattr__(name):
 
     _core = {
         "Problem": "skeres_tpu.core.problem",
+        "ResidualBlockId": "skeres_tpu.core.problem",
+        "EvaluationCallback": "skeres_tpu.core.callbacks",
+        "StateUpdatingCallback": "skeres_tpu.core.callbacks",
+        "LoggingCallback": "skeres_tpu.core.callbacks",
         "SolverOptions": "skeres_tpu.core.options",
         "Summary": "skeres_tpu.core.summary",
         "solve": "skeres_tpu.core.solver",

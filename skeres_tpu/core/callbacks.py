@@ -13,7 +13,13 @@ from typing import Callable, Optional
 from skeres_tpu.core.summary import IterationSummary
 from skeres_tpu.core.types import CallbackReturnType
 
-__all__ = ["LoggingCallback", "AbortAtIterationCallback", "HistoryCallback"]
+__all__ = [
+    "LoggingCallback",
+    "AbortAtIterationCallback",
+    "HistoryCallback",
+    "StateUpdatingCallback",
+    "EvaluationCallback",
+]
 
 
 class LoggingCallback:
@@ -62,3 +68,36 @@ class HistoryCallback:
     def __call__(self, it: IterationSummary):
         self.history.append(it)
         return CallbackReturnType.SOLVER_CONTINUE
+
+
+class StateUpdatingCallback:
+    """Writes the current iterate back into the problem's user-visible
+    parameter storage every iteration (reference: StateUpdatingCallback in
+    ``internal/ceres/callbacks.cc``).
+
+    Two-argument callback: the minimizer passes ``(IterationSummary, state)``
+    to callbacks whose signature takes two parameters. Equivalent to setting
+    ``SolverOptions.update_state_every_iteration = True``.
+    """
+
+    def __init__(self, program):
+        self.program = program
+
+    def __call__(self, it: IterationSummary, state):
+        self.program.write_back(state)
+        return CallbackReturnType.SOLVER_CONTINUE
+
+
+class EvaluationCallback:
+    """Pre-evaluation hook protocol (reference:
+    ``include/ceres/evaluation_callback.h``). Set an instance on
+    ``SolverOptions.evaluation_callback``; the minimizer calls
+    ``prepare_for_evaluation`` on the host before every device dispatch
+    that (re)evaluates residuals/Jacobians — the idiomatic place to update
+    shared data that residual functions close over.
+    """
+
+    def prepare_for_evaluation(
+        self, evaluate_jacobians: bool, new_evaluation_point: bool
+    ) -> None:
+        raise NotImplementedError

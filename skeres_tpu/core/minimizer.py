@@ -383,6 +383,7 @@ class TrustRegionMinimizer:
         num_consecutive_invalid_steps = 0
 
         t0 = time.time()
+        self._prepare_for_evaluation(True, True)
         cost, g, diag, data, scale, g_max_norm, g_norm, *gn = self.linearize(state)
         cost, g_max_norm, g_norm = (
             float(v) for v in jax.device_get((cost, g_max_norm, g_norm))
@@ -439,6 +440,7 @@ class TrustRegionMinimizer:
             iter_start = time.time()
 
             t0 = time.time()
+            self._prepare_for_evaluation(False, True)
             radius_dev = jnp.asarray(radius, dtype=self.ev.dtype)
             (
                 new_state,
@@ -526,6 +528,7 @@ class TrustRegionMinimizer:
                 s.num_successful_steps += 1
 
                 t0 = time.time()
+                self._prepare_for_evaluation(True, False)
                 (
                     cost_d,
                     g,
@@ -626,10 +629,28 @@ class TrustRegionMinimizer:
             f" {it.cumulative_time_in_seconds:11.2e}"
         )
 
+    def _prepare_for_evaluation(self, evaluate_jacobians: bool, new_point: bool):
+        """Fire the user's EvaluationCallback before a device dispatch that
+        (re)evaluates the problem (reference:
+        ``include/ceres/evaluation_callback.h``)."""
+        cb = getattr(self.options, "evaluation_callback", None)
+        if cb is not None:
+            cb.prepare_for_evaluation(evaluate_jacobians, new_point)
+
     def _run_callbacks(self, it: IterationSummary, state) -> bool:
         """Returns True if the solve should stop (sets termination)."""
+        if self.options.update_state_every_iteration:
+            # reference StateUpdatingCallback semantics: user-visible
+            # parameter storage tracks the iterate every iteration
+            self.ev.program.write_back(state)
         for cb in self.options.callbacks:
-            ret = cb(it)
+            try:
+                import inspect
+
+                nargs = len(inspect.signature(cb).parameters)
+            except (TypeError, ValueError):
+                nargs = 1
+            ret = cb(it, state) if nargs >= 2 else cb(it)
             if ret == CallbackReturnType.SOLVER_ABORT:
                 self.summary.termination_type = TerminationType.USER_FAILURE
                 self.summary.message = "User callback returned SOLVER_ABORT."

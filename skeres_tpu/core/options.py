@@ -32,6 +32,8 @@ class SolverOptions:
     dogleg_type: DoglegType = DoglegType.TRADITIONAL_DOGLEG
     linear_solver_type: LinearSolverType = LinearSolverType.DENSE_QR
     preconditioner_type: PreconditionerType = PreconditionerType.JACOBI
+    # series length for POWER_SERIES_EXPANSION (reference default: 5)
+    max_num_spse_iterations: int = 5
 
     # -- iteration/time limits ----------------------------------------------
     max_num_iterations: int = 50
@@ -88,6 +90,10 @@ class SolverOptions:
     minimizer_progress_to_stdout: bool = False
     callbacks: Sequence[Callable] = dataclasses.field(default_factory=list)
     update_state_every_iteration: bool = False
+    # pre-evaluation hook (reference: include/ceres/evaluation_callback.h):
+    # object with prepare_for_evaluation(evaluate_jacobians, new_point),
+    # fired on the host before each device dispatch that re-evaluates
+    evaluation_callback: Optional[Any] = None
 
     # -- checkpoint/resume (built-in form of the reference's
     # update_state_every_iteration callback idiom, SURVEY.md §6) --------------

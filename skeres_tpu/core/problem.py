@@ -34,7 +34,13 @@ import jax
 from skeres_tpu.models.manifolds import EuclideanManifold, Manifold
 from skeres_tpu.ops.loss import LossFunction
 
-__all__ = ["Problem", "ParameterBlock", "ParameterBlockArray", "Program"]
+__all__ = [
+    "Problem",
+    "ParameterBlock",
+    "ParameterBlockArray",
+    "Program",
+    "ResidualBlockId",
+]
 
 
 class ParameterBlockArray:
@@ -138,6 +144,22 @@ class _BatchSpec:
     slot_indices: List[List[int]]  # per slot: block row per residual block
     data_rows: List[Any]  # per residual block: data pytree (or None)
     name: str = ""
+    # per residual block: the id handed out by add_residual_block (None for
+    # bulk batches, which are not individually removable)
+    row_ids: Optional[List[int]] = None
+
+
+class ResidualBlockId:
+    """Opaque handle returned by ``add_residual_block`` (reference:
+    ``Problem::ResidualBlockId``); pass to ``remove_residual_block``."""
+
+    __slots__ = ("_rid",)
+
+    def __init__(self, rid: int):
+        self._rid = rid
+
+    def __repr__(self):
+        return f"ResidualBlockId({self._rid})"
 
 
 @dataclasses.dataclass
@@ -209,6 +231,8 @@ class Problem:
         self._batches: dict[tuple, _BatchSpec] = {}
         self._default_manifolds: dict[int, Manifold] = {}
         self._num_residual_blocks = 0
+        self._next_residual_id = 0
+        self._residual_registry: dict[int, tuple] = {}  # rid -> batch key
 
     # -- parameter blocks ------------------------------------------------------
 
@@ -336,7 +360,7 @@ class Problem:
         params: Sequence[ParameterBlock],
         data: Any = None,
         name: str = "",
-    ) -> None:
+    ) -> ResidualBlockId:
         """Add one residual block. Blocks with the same (fn, loss, group
         signature) batch together at compile time."""
         slot_groups = tuple(p.group_index for p in params)
@@ -350,12 +374,67 @@ class Problem:
                 slot_indices=[[] for _ in params],
                 data_rows=[],
                 name=name or getattr(fn, "__name__", "residual"),
+                row_ids=[],
             )
             self._batches[key] = spec
         for slot, p in enumerate(params):
             spec.slot_indices[slot].append(p.row)
         spec.data_rows.append(data)
         self._num_residual_blocks += 1
+        rid = self._next_residual_id
+        self._next_residual_id += 1
+        spec.row_ids.append(rid)
+        self._residual_registry[rid] = key
+        return ResidualBlockId(rid)
+
+    def remove_residual_block(self, rbid: ResidualBlockId) -> None:
+        """Remove one residual block added with ``add_residual_block``
+        (reference: ``Problem::RemoveResidualBlock``). Bulk batches from
+        ``add_residual_blocks`` are not individually removable."""
+        rid = rbid._rid
+        key = self._residual_registry.pop(rid, None)
+        if key is None:
+            raise KeyError(f"unknown or already-removed residual block {rbid}")
+        spec = self._batches[key]
+        i = spec.row_ids.index(rid)
+        for slot_rows in spec.slot_indices:
+            del slot_rows[i]
+        del spec.data_rows[i]
+        del spec.row_ids[i]
+        self._num_residual_blocks -= 1
+        if not spec.row_ids:
+            del self._batches[key]
+
+    def remove_parameter_block(self, block: ParameterBlock) -> None:
+        """Remove a parameter block and every residual block referencing it
+        (reference: ``Problem::RemoveParameterBlock``).
+
+        SoA deviation: the group's storage row is kept (so other handles
+        stay valid) but marked constant and stripped of residuals — it no
+        longer participates in the solve, matching the reference semantics
+        for the reduced program.
+        """
+        gi, row = block.group_index, block.row
+        doomed = []
+        for key, spec in self._batches.items():
+            refs = [
+                i
+                for slot, g in enumerate(spec.slot_groups)
+                if g == gi
+                for i, r in enumerate(spec.slot_indices[slot])
+                if r == row
+            ]
+            if not refs:
+                continue
+            if spec.row_ids is None:
+                raise NotImplementedError(
+                    "remove_parameter_block: block is referenced by a bulk "
+                    "batch (add_residual_blocks); rebuild the problem instead"
+                )
+            doomed.extend(ResidualBlockId(spec.row_ids[i]) for i in sorted(set(refs)))
+        for rbid in doomed:
+            self.remove_residual_block(rbid)
+        block._group.constant[row] = True
 
     def add_residual_blocks(
         self,

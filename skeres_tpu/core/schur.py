@@ -63,6 +63,7 @@ class SchurSolver:
         eta: float = 1e-1,
         pair_chunk: Optional[int] = None,
         refinement_iterations: int = 0,
+        max_power_series_terms: int = 5,
     ):
         self.ev = evaluator
         self.iterative = iterative
@@ -71,6 +72,7 @@ class SchurSolver:
         self.eta = eta
         self.pair_chunk = pair_chunk
         self.refinement_iterations = refinement_iterations
+        self.max_power_series_terms = max_power_series_terms
         program = evaluator.program
 
         elim = [i for i, g in enumerate(program.groups) if g.schur_group == 0]
@@ -383,10 +385,12 @@ class SchurSolver:
         b_e = -asm["g_e"] - self._wt_apply(asm, dx_f)
         return jnp.einsum("pef,pf->pe", asm["cinv"], b_e)
 
-    def _schur_jacobi_blocks(self, asm):
+    def _schur_jacobi_blocks(self, asm, include_e_correction=True):
         """Block diagonal of S per retained block (for the SCHUR_JACOBI
-        preconditioner). Cross-slot contributions to the same retained
-        block (a residual touching one block through two slots) are
+        preconditioner); with ``include_e_correction=False``, the block
+        diagonal of B = F^T F + D_f instead (the POWER_SERIES_EXPANSION
+        preconditioner's base matrix). Cross-slot contributions to the same
+        retained block (a residual touching one block through two slots) are
         dropped — same approximation quality class as the reference's
         preconditioner assembly."""
         outs = {
@@ -405,7 +409,7 @@ class SchurSolver:
             for s, gi, c, t in info["ret_slots"]:
                 Fs = jac[:, :, c : c + t]
                 ftf = jnp.einsum("bmf,bmg->bfg", Fs, Fs)
-                if E is not None:
+                if E is not None and include_e_correction:
                     A = jnp.einsum("bmf,bme->bfe", Fs, E)
                     Y = jnp.einsum(
                         "bfe,beg->bfg", A, asm["cinv"][info["pidx"]]
@@ -551,18 +555,27 @@ class SchurSolver:
 
             if self.preconditioner == PreconditionerType.SCHUR_JACOBI:
                 blocks = self._schur_jacobi_blocks(asm)
-                binvs = [batched_spd_inverse(blk) for blk in blocks]
+                precond = self._block_inverse_apply(blocks)
+
+            elif self.preconditioner == PreconditionerType.POWER_SERIES_EXPANSION:
+                # truncated Neumann series (reference:
+                # power_series_expansion_preconditioner.cc; "Power Bundle
+                # Adjustment" idea): with B = blockdiag(F^T F) + D_f (exactly
+                # block-diagonal for BA structure),
+                #   S^{-1} ~= sum_k (B^{-1} W C^{-1} W^T)^k B^{-1}
+                # and each term uses W C^{-1} W^T y = B y - S y, so one
+                # S-matvec per series term — all einsum/segment-reduce.
+                blocks_b = self._schur_jacobi_blocks(asm, include_e_correction=False)
+                binv_apply = self._block_inverse_apply(blocks_b)
+                n_terms = self.max_power_series_terms
 
                 def precond(v):
-                    parts = []
-                    for (start, nb, t), binv in zip(self.ret_blocks, binvs):
-                        vb = jax.lax.dynamic_slice_in_dim(
-                            v, start, nb * t
-                        ).reshape(nb, t)
-                        parts.append(
-                            jnp.einsum("bef,bf->be", binv, vb).reshape(-1)
-                        )
-                    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+                    y = binv_apply(v)
+                    acc = y
+                    for _ in range(n_terms):
+                        y = y - binv_apply(s_matvec(y))
+                        acc = acc + y
+                    return acc
 
             else:  # JACOBI / IDENTITY fall back to diagonal scaling
                 d_f = asm["d_f"] + self._ftf_diag(asm)
@@ -585,6 +598,19 @@ class SchurSolver:
             self.elim_offset + jnp.arange(self.elim_span)
         ].set(dx_e.reshape(-1))
         return dx, iters
+
+    def _block_inverse_apply(self, blocks):
+        """v -> blockdiag(blocks)^{-1} v over the retained coordinates."""
+        binvs = [batched_spd_inverse(blk) for blk in blocks]
+
+        def apply(v):
+            parts = []
+            for (start, nb, t), binv in zip(self.ret_blocks, binvs):
+                vb = jax.lax.dynamic_slice_in_dim(v, start, nb * t).reshape(nb, t)
+                parts.append(jnp.einsum("bef,bf->be", binv, vb).reshape(-1))
+            return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+        return apply
 
     def _ftf_diag(self, asm):
         accs = self._zero_ret_accs(asm["g_f"].dtype)

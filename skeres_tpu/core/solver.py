@@ -127,6 +127,7 @@ def solve(
                 if options.use_mixed_precision_solves
                 else 0
             ),
+            max_power_series_terms=options.max_num_spse_iterations,
         )
 
     inner_refiner = None

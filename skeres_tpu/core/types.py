@@ -48,6 +48,7 @@ class PreconditionerType(enum.Enum):
     IDENTITY = "IDENTITY"
     JACOBI = "JACOBI"
     SCHUR_JACOBI = "SCHUR_JACOBI"
+    POWER_SERIES_EXPANSION = "POWER_SERIES_EXPANSION"
 
 
 class LineSearchDirectionType(enum.Enum):

@@ -29,6 +29,7 @@ __all__ = [
     "QuaternionManifold",
     "EigenQuaternionManifold",
     "SphereManifold",
+    "LineManifold",
     "AngleManifold",
     "ProductManifold",
 ]
@@ -236,6 +237,72 @@ class SphereManifold(Manifold):
         angle = jnp.arctan2(hn, last)
         k = jnp.where(small, 1.0 / jnp.where(small, last, 1.0), angle / hn)
         return k * head
+
+
+class LineManifold(Manifold):
+    """A line in R^n as (origin, direction): ambient 2n, tangent 2(n-1).
+
+    Re-design of the reference lineage's LineManifold
+    (``include/ceres/manifold.h``): the origin moves only within the
+    hyperplane orthogonal to the direction (lifted through the Householder
+    basis that maps the direction to ``||d|| e_n``), and the direction moves
+    on the sphere exactly like SphereManifold.
+    """
+
+    def __init__(self, size: int):
+        assert size >= 2
+        self.line_dim = int(size)
+        self.ambient_size = 2 * int(size)
+        self.tangent_size = 2 * (int(size) - 1)
+
+    def _split(self, x):
+        n = self.line_dim
+        return x[..., :n], x[..., n:]
+
+    def plus(self, x, delta):
+        n = self.line_dim
+        origin, direction = self._split(x)
+        d_origin = delta[..., : n - 1]
+        d_dir = delta[..., n - 1 :]
+
+        v, beta = _householder(direction)
+
+        # origin: embed the tangent step in the hyperplane orthogonal to
+        # the direction, i.e. the span of the first n-1 Householder basis
+        # vectors, scaled by ||direction|| (Ceres semantics)
+        y_o = jnp.concatenate([d_origin, jnp.zeros_like(d_origin[..., :1])], axis=-1)
+        r = jnp.linalg.norm(direction)
+        origin_plus = origin + r * _apply_householder(v, beta, y_o)
+
+        # direction: sphere exponential map
+        n2 = jnp.sum(d_dir * d_dir)
+        small = n2 < _SMALL
+        nd = jnp.sqrt(jnp.where(small, 1.0, n2))
+        sinc = jnp.where(small, 1.0 - n2 / 6.0, jnp.sin(nd) / nd)
+        w = jnp.where(small, 1.0 - n2 / 2.0, jnp.cos(nd))
+        y_d = jnp.concatenate([sinc * d_dir, w[None]])
+        dir_plus = r * _apply_householder(v, beta, y_d)
+        return jnp.concatenate([origin_plus, dir_plus], axis=-1)
+
+    def minus(self, y, x):
+        origin_y, dir_y = self._split(y)
+        origin_x, dir_x = self._split(x)
+        v, beta = _householder(dir_x)
+        r = jnp.linalg.norm(dir_x)
+
+        # origin tangent: project the difference back through the basis
+        h_o = _apply_householder(v, beta, (origin_y - origin_x) / r)
+        d_origin = h_o[..., :-1]
+
+        # direction tangent: sphere log map
+        hy = _apply_householder(v, beta, dir_y) / jnp.linalg.norm(dir_y)
+        head, last = hy[:-1], hy[-1]
+        hn2 = jnp.sum(head * head)
+        small = hn2 < _SMALL
+        hn = jnp.sqrt(jnp.where(small, 1.0, hn2))
+        angle = jnp.arctan2(hn, last)
+        k = jnp.where(small, 1.0 / jnp.where(small, last, 1.0), angle / hn)
+        return jnp.concatenate([d_origin, k * head], axis=-1)
 
 
 class AngleManifold(Manifold):

@@ -48,6 +48,21 @@ def make_cases():
     xs.append(jnp.array([0.0, 0.0, 0.0, -1.0]))
     cases.append(("sphere", sph, xs))
 
+    line = M.LineManifold(3)
+    ls = [
+        jnp.concatenate(
+            [jnp.asarray(RNG.normal(size=3)), jnp.asarray(_unit(RNG.normal(size=3)))]
+        )
+        for _ in range(3)
+    ]
+    # non-unit direction: the manifold preserves ||direction||
+    ls.append(
+        jnp.concatenate(
+            [jnp.asarray(RNG.normal(size=3)), 2.5 * jnp.asarray(_unit(RNG.normal(size=3)))]
+        )
+    )
+    cases.append(("line", line, ls))
+
     ang = M.AngleManifold()
     cases.append(
         ("angle", ang, [jnp.asarray(RNG.uniform(-np.pi, np.pi, size=1)) for _ in range(4)])

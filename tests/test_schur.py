@@ -51,6 +51,7 @@ def test_dense_reference_converges(dense_solution):
     [
         (LinearSolverType.DENSE_SCHUR, PreconditionerType.JACOBI),
         (LinearSolverType.ITERATIVE_SCHUR, PreconditionerType.SCHUR_JACOBI),
+        (LinearSolverType.ITERATIVE_SCHUR, PreconditionerType.POWER_SERIES_EXPANSION),
         (LinearSolverType.CGNR, PreconditionerType.JACOBI),
     ],
 )
