@@ -7,7 +7,7 @@ optionally normalizes/perturbs, builds the Snavely reprojection problem
 with declared camera/point Schur structure, solves with the selected
 linear solver, prints the full report, and can export a PLY point cloud.
 
-    python -m examples.bundle_adjuster --input data/problem-49-7776-pre.txt \
+    python -m skeres_tpu.cli.bundle_adjuster --input data/problem-49-7776-pre.txt \
         --linear_solver DENSE_SCHUR --robustify
 """
 

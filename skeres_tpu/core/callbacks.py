@@ -76,15 +76,24 @@ class StateUpdatingCallback:
     ``internal/ceres/callbacks.cc``).
 
     Two-argument callback: the minimizer passes ``(IterationSummary, state)``
-    to callbacks whose signature takes two parameters. Equivalent to setting
-    ``SolverOptions.update_state_every_iteration = True``.
+    to callbacks whose signature takes two required parameters. Equivalent
+    to setting ``SolverOptions.update_state_every_iteration = True`` (which
+    is the recommended path — it needs no handle at all).
+
+    Accepts either a ``Problem`` (resolved to its compiled ``Program`` on
+    first use; ``solve()`` compiles internally, so users typically only
+    have the Problem at options-building time) or a ``Program``.
     """
 
-    def __init__(self, program):
-        self.program = program
+    def __init__(self, problem_or_program):
+        self._target = problem_or_program
+        self._program = None
 
     def __call__(self, it: IterationSummary, state):
-        self.program.write_back(state)
+        if self._program is None:
+            t = self._target
+            self._program = t if hasattr(t, "write_back") else t.compile()
+        self._program.write_back(state)
         return CallbackReturnType.SOLVER_CONTINUE
 
 
@@ -93,8 +102,19 @@ class EvaluationCallback:
     ``include/ceres/evaluation_callback.h``). Set an instance on
     ``SolverOptions.evaluation_callback``; the minimizer calls
     ``prepare_for_evaluation`` on the host before every device dispatch
-    that (re)evaluates residuals/Jacobians — the idiomatic place to update
-    shared data that residual functions close over.
+    that (re)evaluates residuals or Jacobians.
+
+    IMPORTANT semantic difference from the reference: residual functions
+    are traced once and AOT/jit-compiled, so host data they *close over*
+    is baked in at trace time — mutating it inside this hook has NO effect
+    on later dispatches. Mutable per-evaluation data must instead flow
+    through the residual's ``data`` pytree, and a change requires a fresh
+    ``solve()`` (each solve re-uploads the data arrays registered on the
+    problem). Also,
+    unlike the reference, the hook cannot inspect the candidate evaluation
+    point: the iterate lives on device and is not written back before the
+    hook fires (``(False, True)`` dispatches fire immediately before the
+    candidate-cost evaluation, but the hook receives no state).
     """
 
     def prepare_for_evaluation(

@@ -110,12 +110,18 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
             y, lin_iters = self._solve_damped(data_s, gs, diag_s, radius)
             dx = y * scale
 
+            cand = ev.plus(state, dx)
+            if ev.program.has_bounds:
+                # bounds-correct stepping: model cost change must see the
+                # projected (effective) step — see minimizer.solve_step
+                cand = ev.project_bounds(cand)
+                dx = ev.tangent_diff(cand, state)
+                y = dx / scale
+
             jtjdx = self._jtj_dx(data, None, dx)
             model_cost_change = -(jnp.dot(g, dx) + 0.5 * jnp.dot(dx, jtjdx))
             step_norm = jnp.sqrt(jnp.sum(y * y))
 
-            cand = ev.plus(state, dx)
-            cand = ev.project_bounds(cand)
             if self.inner_refiner is not None:
                 cand = self.inner_refiner.refine(cand)
             new_cost = ev.cost(cand)

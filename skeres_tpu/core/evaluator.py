@@ -349,6 +349,20 @@ class Evaluator:
             new_state.append(jax.vmap(g.manifold.plus)(x, delta))
         return tuple(new_state)
 
+    def tangent_diff(self, y_state, x_state):
+        """Global tangent step ``y (-) x`` (N,): per-group vmapped
+        ``manifold.minus``. Used for bounds-correct stepping — after
+        projecting a candidate onto the bounds box, the *effective* step
+        (what the model-cost computation must see, per the reference's
+        ``trust_region_minimizer.cc`` bounds semantics) is the tangent
+        difference of the projected point from the current point."""
+        parts = []
+        for g, y, x in zip(self.program.groups, y_state, x_state):
+            d = jax.vmap(g.manifold.minus)(y, x).astype(self.dtype)
+            parts.append(d.reshape(-1))
+        out = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        return out * self._free_mask
+
     def x_norm(self, state):
         sq = jnp.zeros((), dtype=self.dtype)
         for x in state:

@@ -181,6 +181,48 @@ class _LowRankInverseHessian:
         return q
 
 
+class _DenseInverseHessian:
+    """Full-rank BFGS inverse-Hessian approximation (reference:
+    ``line_search_direction.cc`` BFGS path), host-side numpy. Maintains
+    H_k with the standard BFGS inverse update
+
+        H <- (I - rho s y^T) H (I - rho y s^T) + rho s s^T,
+
+    with the Oren-Luenberger scaling of the initial H applied at the first
+    update (same as the reference's use_approximate_eigenvalue_scaling
+    default behavior for BFGS: H0 = (s^T y / y^T y) I)."""
+
+    def __init__(self, n: int, use_scaling: bool = True):
+        self.h = np.eye(n)
+        self.use_scaling = use_scaling
+        self.initialized = False
+        # non-empty marker so the initial-step heuristic treats an updated
+        # BFGS like an updated LBFGS (see minimize(): unit initial step)
+        self.s = []
+
+    def update(self, delta_x, delta_g):
+        sy = float(np.dot(delta_x, delta_g))
+        if sy <= 1e-14:
+            return False
+        if not self.initialized and self.use_scaling:
+            yy = float(np.dot(delta_g, delta_g))
+            if yy > 0.0:
+                self.h *= sy / yy
+        self.initialized = True
+        self.s.append(None)  # rank marker only
+        rho = 1.0 / sy
+        hy = self.h @ delta_g
+        yhy = float(np.dot(delta_g, hy))
+        # expanded form of the sandwich update (one rank-2 correction):
+        # H += rho^2 (y'Hy) s s' + rho s s' - rho (s (Hy)' + (Hy) s')
+        self.h += (rho * rho * yhy + rho) * np.outer(delta_x, delta_x)
+        self.h -= rho * (np.outer(delta_x, hy) + np.outer(hy, delta_x))
+        return True
+
+    def apply(self, g):
+        return self.h @ g
+
+
 class LineSearchMinimizer:
     """Host loop over jitted cost/gradient programs
     (reference: ``line_search_minimizer.cc``)."""
@@ -228,11 +270,15 @@ class LineSearchMinimizer:
         s.initial_cost = cost + s.fixed_cost
 
         direction_type = o.line_search_direction_type
-        lbfgs = (
-            _LowRankInverseHessian(o.max_lbfgs_rank)
-            if direction_type == LineSearchDirectionType.LBFGS
-            else None
-        )
+
+        def make_inverse_hessian():
+            if direction_type == LineSearchDirectionType.LBFGS:
+                return _LowRankInverseHessian(o.max_lbfgs_rank)
+            if direction_type == LineSearchDirectionType.BFGS:
+                return _DenseInverseHessian(int(g.size))
+            return None
+
+        lbfgs = make_inverse_hessian()
         prev_g = None
         prev_direction = None
         restarts = 0
@@ -273,7 +319,7 @@ class LineSearchMinimizer:
                         float(np.dot(g, g - prev_g) / max(np.dot(prev_g, prev_g), 1e-300)),
                     )
                     direction = -g + beta * prev_direction
-            else:  # LBFGS / BFGS
+            else:  # LBFGS (two-loop) or BFGS (dense inverse Hessian)
                 direction = -lbfgs.apply(g)
 
             dg = float(np.dot(direction, g))
@@ -288,7 +334,7 @@ class LineSearchMinimizer:
                     )
                     return state
                 if lbfgs is not None:
-                    lbfgs = _LowRankInverseHessian(o.max_lbfgs_rank)
+                    lbfgs = make_inverse_hessian()
                 prev_g = None
                 direction = -g
                 dg = float(np.dot(direction, g))

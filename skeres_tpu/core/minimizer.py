@@ -13,7 +13,8 @@ reference deliberately:
   argument so changing it never triggers a recompile.
 - Jacobians are reused across rejected steps exactly like the reference:
   ``linearize`` (full J pass) runs only after accepted steps; rejected
-  steps re-run only ``solve_and_try`` (damped solve + residual-only eval).
+  steps re-run only ``solve_step`` + ``try_step`` (damped solve +
+  residual-only eval).
 
 Numerical details (D clamping, radius update formula, non-monotonic step
 evaluator, convergence tests) mirror the reference's formulas exactly;
@@ -101,8 +102,9 @@ class TrustRegionMinimizer:
 
     Device programs built once per solve:
       linearize(state)                     -> cost, g, diag, solver_data
-      solve_and_try(state, data, g, diag, scale, radius)
-                                           -> step stats + candidate state/cost
+      solve_step(state, data, g, diag, scale, radius)
+                                           -> candidate state + step stats
+      try_step(new_state)                  -> candidate cost, |x|
     """
 
     def __init__(
@@ -259,7 +261,7 @@ class TrustRegionMinimizer:
                 gn = ()
             return (cost, g, diag, data, scale, g_max_norm, g_norm) + gn
 
-        def solve_and_try(state, data, g, diag, scale, radius, *gn):
+        def solve_step(state, data, g, diag, scale, radius, *gn):
             # scaled-space damped solve: J_s = J S  (S = diag(scale))
             gs = g * scale
             diag_s = diag * scale * scale
@@ -271,30 +273,42 @@ class TrustRegionMinimizer:
                 y, lin_iters = self._solve_damped(data_s, gs, diag_s, radius)
             dx = y * scale
 
+            new_state = ev.plus(state, dx)
+            if ev.program.has_bounds:
+                # reference bounds semantics (trust_region_minimizer.cc):
+                # the candidate is the projection onto the bounds box, and
+                # model_cost_change / step_norm must see the EFFECTIVE
+                # (projected) step, else step quality is corrupted whenever
+                # a bound is active.
+                new_state = ev.project_bounds(new_state)
+                dx = ev.tangent_diff(new_state, state)
+                y = dx / scale
+
             jtjdx = self._jtj_dx(data, None, dx)
             model_cost_change = -(jnp.dot(g, dx) + 0.5 * jnp.dot(dx, jtjdx))
             step_norm = jnp.sqrt(jnp.sum(y * y))  # scaled-space norm (ref param_tol)
 
-            new_state = ev.plus(state, dx)
-            new_state = ev.project_bounds(new_state)
             if self.inner_refiner is not None:
                 # reference order (trust_region_minimizer.cc): inner
                 # iterations refine the candidate BEFORE step acceptance
                 new_state = self.inner_refiner.refine(new_state)
-            new_cost = ev.cost(new_state)
-            x_norm = ev.x_norm(new_state)
             return (
                 new_state,
-                new_cost,
                 model_cost_change,
                 step_norm,
-                x_norm,
                 lin_iters,
                 dx,
             )
 
+        def try_step(new_state):
+            """Residual-only evaluation of the candidate (its host timing
+            populates Summary.residual_evaluation_time_in_seconds, the
+            reference's residual/Jacobian/linear-solver time split)."""
+            return ev.cost(new_state), ev.x_norm(new_state)
+
         self.linearize = jax.jit(linearize)
-        self.solve_and_try = jax.jit(solve_and_try)
+        self.solve_step = jax.jit(solve_step)
+        self.try_step = jax.jit(try_step)
 
     def compile_programs(self, state):
         """AOT-compile the device programs (preprocessor phase) so
@@ -314,9 +328,16 @@ class TrustRegionMinimizer:
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
         )
         scalar = jax.ShapeDtypeStruct((), dtype)
-        self.solve_and_try = self.solve_and_try.lower(
+        solve_out = jax.eval_shape(
+            self.solve_step, state_s, data_s, g_s, diag_s, scale_s, scalar, *gn_s
+        )
+        self.solve_step = self.solve_step.lower(
             state_s, data_s, g_s, diag_s, scale_s, scalar, *gn_s
         ).compile()
+        new_state_s = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), solve_out[0]
+        )
+        self.try_step = self.try_step.lower(new_state_s).compile()
 
     def _dogleg_step(self, data, scale, gs, y_gn, radius):
         """Traditional dogleg in the Jacobi-scaled space (reference:
@@ -440,17 +461,22 @@ class TrustRegionMinimizer:
             iter_start = time.time()
 
             t0 = time.time()
-            self._prepare_for_evaluation(False, True)
             radius_dev = jnp.asarray(radius, dtype=self.ev.dtype)
             (
                 new_state,
-                new_cost,
                 model_cost_change,
                 step_norm,
-                x_norm,
                 lin_iters,
                 dx,
-            ) = self.solve_and_try(state, data, g, diag, scale, radius_dev, *gn)
+            ) = self.solve_step(state, data, g, diag, scale, radius_dev, *gn)
+            jax.block_until_ready(new_state)
+            step_solver_time = time.time() - t0
+            s.linear_solver_time_in_seconds += step_solver_time
+            s.num_linear_solves += 1
+
+            t0 = time.time()
+            self._prepare_for_evaluation(False, True)
+            new_cost, x_norm = self.try_step(new_state)
             # one batched device->host fetch: per-scalar pulls are full
             # round-trips (dominant over a network-attached chip)
             new_cost, model_cost_change, step_norm_f, x_norm_f, lin_iters = (
@@ -459,9 +485,7 @@ class TrustRegionMinimizer:
                     (new_cost, model_cost_change, step_norm, x_norm, lin_iters)
                 )
             )
-            step_solver_time = time.time() - t0
-            s.linear_solver_time_in_seconds += step_solver_time
-            s.num_linear_solves += 1
+            s.residual_evaluation_time_in_seconds += time.time() - t0
             s.num_residual_evaluations += 1
 
             step_is_valid = (
@@ -637,6 +661,35 @@ class TrustRegionMinimizer:
         if cb is not None:
             cb.prepare_for_evaluation(evaluate_jacobians, new_point)
 
+    def _callback_wants_state(self, cb) -> bool:
+        """True if the callback takes a second REQUIRED parameter (the
+        state pytree). Counting only parameters without defaults keeps a
+        one-arg callback with an optional kwarg (``def cb(it, verbose=False)``)
+        on the one-arg protocol; the result is cached per callback."""
+        cache = getattr(self, "_cb_arity_cache", None)
+        if cache is None:
+            cache = self._cb_arity_cache = {}
+        key = id(cb)
+        if key not in cache:
+            try:
+                import inspect
+
+                params = inspect.signature(cb).parameters.values()
+                required = [
+                    p
+                    for p in params
+                    if p.default is inspect.Parameter.empty
+                    and p.kind
+                    in (
+                        inspect.Parameter.POSITIONAL_ONLY,
+                        inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                    )
+                ]
+                cache[key] = len(required) >= 2
+            except (TypeError, ValueError):
+                cache[key] = False
+        return cache[key]
+
     def _run_callbacks(self, it: IterationSummary, state) -> bool:
         """Returns True if the solve should stop (sets termination)."""
         if self.options.update_state_every_iteration:
@@ -644,13 +697,7 @@ class TrustRegionMinimizer:
             # parameter storage tracks the iterate every iteration
             self.ev.program.write_back(state)
         for cb in self.options.callbacks:
-            try:
-                import inspect
-
-                nargs = len(inspect.signature(cb).parameters)
-            except (TypeError, ValueError):
-                nargs = 1
-            ret = cb(it, state) if nargs >= 2 else cb(it)
+            ret = cb(it, state) if self._callback_wants_state(cb) else cb(it)
             if ret == CallbackReturnType.SOLVER_ABORT:
                 self.summary.termination_type = TerminationType.USER_FAILURE
                 self.summary.message = "User callback returned SOLVER_ABORT."

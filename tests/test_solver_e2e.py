@@ -226,3 +226,62 @@ def test_curve_fitting_line_search_lbfgs():
     ), summary.message
     m, c = mc.value
     assert abs(m - 0.3) < 0.1 and abs(c - 0.1) < 0.2
+
+
+def test_bounds_active_at_coupled_optimum():
+    """Constrained optimum strictly ON a bound of a coupled 2-parameter
+    problem (reference: trust_region_minimizer.cc bounds semantics).
+    min (x0+x1-4)^2 + (x0-x1)^2 s.t. x0 <= 1: the unconstrained optimum is
+    (2, 2); the constrained one is x0 = 1, x1 = 2, cost = 1. Requires
+    model_cost_change to see the PROJECTED step — with the naive
+    (unprojected) model the step quality is corrupted whenever the bound
+    is active and the solve stalls short of the boundary optimum."""
+    problem = st.Problem()
+    p = problem.add_parameter_block([0.0, 0.0])
+    problem.set_parameter_upper_bound(p, 0, 1.0)
+
+    def r1(params, data):
+        (x,) = params
+        return jnp.reshape(x[0] + x[1] - 4.0, (1,))
+
+    def r2(params, data):
+        (x,) = params
+        return jnp.reshape(x[0] - x[1], (1,))
+
+    problem.add_residual_block(r1, None, [p])
+    problem.add_residual_block(r2, None, [p])
+    summary = st.solve(SolverOptions(max_num_iterations=200), problem)
+    x = np.asarray(p.value)
+    assert x[0] <= 1.0 + 1e-12
+    np.testing.assert_allclose(x[0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(x[1], 2.0, atol=1e-5)
+    np.testing.assert_allclose(summary.final_cost, 1.0, atol=1e-5)
+
+
+def test_curve_fitting_line_search_dense_bfgs():
+    """Dense BFGS direction (not the LBFGS alias) converges on curve
+    fitting (reference: line_search_direction.cc BFGS)."""
+    from skeres_tpu.core.types import LineSearchDirectionType, MinimizerType
+
+    x, y = _curve_data()
+    problem, mc = _build_curve_problem(x, y)
+    options = SolverOptions(
+        minimizer_type=MinimizerType.LINE_SEARCH,
+        line_search_direction_type=LineSearchDirectionType.BFGS,
+        max_num_iterations=200,
+    )
+    summary = st.solve(options, problem)
+    assert summary.termination_type in (
+        TerminationType.CONVERGENCE,
+        TerminationType.NO_CONVERGENCE,
+    ), summary.message
+    m, c = mc.value
+    assert abs(m - 0.3) < 0.1 and abs(c - 0.1) < 0.2
+
+
+def test_residual_eval_time_populated():
+    """full_report's time split must show nonzero residual-eval time when
+    steps ran (reference: solver.cc timing fields)."""
+    problem, summary, _ = _solve_powell(LinearSolverType.DENSE_QR)
+    assert summary.num_residual_evaluations > 0
+    assert summary.residual_evaluation_time_in_seconds > 0.0

@@ -1,11 +1,13 @@
 #!/usr/bin/env python
-"""Per-component TPU timing for the BAL hot path.
+"""Per-component TPU timing + FLOP/MFU accounting for the BAL hot path.
 
 Times each jitted piece in isolation (post-warmup, block_until_ready):
 residual+J evaluation, g/diag assembly, Schur C/ete accumulation, dense-S
-assembly (the pair scatter), Cholesky of S, back-substitution, implicit-S
-matvec, full solve_and_try. Prints a table — run on the real chip to decide
-where Pallas/assembly-rework effort goes.
+assembly, Cholesky of S, back-substitution, implicit-S matvec, full damped
+solve. For each component it also pulls XLA's own FLOP estimate
+(``compiled.cost_analysis()``) and prints achieved TFLOP/s and an MFU
+estimate against the chip's peak — run on the real chip to decide where
+Pallas/assembly-rework effort goes (SURVEY.md §6 tracing plan).
 """
 
 import os
@@ -21,15 +23,44 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# peak dense-matmul throughput per chip (FLOP/s). MXU f32 runs at roughly
+# 1/4 the bf16 rate on recent TPUs; entries are (bf16_peak, f32_peak).
+_PEAKS = {
+    "v4": (275e12, 275e12 / 4),
+    "v5 lite": (197e12, 197e12 / 4),
+    "v5e": (197e12, 197e12 / 4),
+    "v5p": (459e12, 459e12 / 4),
+    "v6 lite": (918e12, 918e12 / 4),
+    "v6e": (918e12, 918e12 / 4),
+}
 
-def timeit(fn, *args, n=30):
-    out = fn(*args)
+
+def peak_flops():
+    kind = jax.devices()[0].device_kind.lower()
+    for key, (bf16, f32) in _PEAKS.items():
+        if key in kind:
+            return f32, kind
+    return None, kind
+
+
+def bench_compiled(fn, *args, n=30):
+    """Returns (seconds_per_call, xla_flops_estimate, compiled)."""
+    jitted = jax.jit(fn)
+    compiled = jitted.lower(*args).compile()
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", float("nan")))
+    except Exception:
+        flops = float("nan")
+    out = compiled(*args)
     jax.block_until_ready(out)
     t0 = time.time()
     for _ in range(n):
-        out = fn(*args)
+        out = compiled(*args)
     jax.block_until_ready(out)
-    return (time.time() - t0) / n
+    return (time.time() - t0) / n, flops, compiled
 
 
 def main():
@@ -39,6 +70,8 @@ def main():
     ap.add_argument("--num_cameras", type=int, default=49)
     ap.add_argument("--num_points", type=int, default=7776)
     ap.add_argument("--obs", type=int, default=4)
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="evaluation_chunk_size for the evaluator")
     args = ap.parse_args()
 
     from skeres_tpu.core.evaluator import Evaluator
@@ -47,6 +80,9 @@ def main():
     from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
 
     print("backend:", jax.default_backend())
+    peak, kind = peak_flops()
+    print(f"device: {kind}  f32 peak: "
+          f"{'n/a' if peak is None else f'{peak/1e12:.0f} TFLOP/s'}")
     bal = synthetic_bal(
         num_cameras=args.num_cameras,
         num_points=args.num_points,
@@ -57,71 +93,54 @@ def main():
     )
     problem, _, _ = build_bal_problem(bal)
     program = problem.compile()
-    ev = Evaluator(program)
+    ev = Evaluator(program, chunk_size=args.chunk)
     state = program.initial_state(ev.dtype)
 
-    blocks_fn = jax.jit(ev.blocks)
-    t_blocks = timeit(blocks_fn, state)
-    cost, blocks = blocks_fn(state)
+    rows = []
 
-    gd_fn = jax.jit(ev.gradient_and_diag)
-    t_gd = timeit(gd_fn, blocks)
-    g, diag = gd_fn(blocks)
+    def add(name, fn, *fargs, n=30):
+        t, flops, compiled = bench_compiled(fn, *fargs, n=n)
+        rows.append((name, t, flops))
+        return compiled(*fargs)
 
-    cost_fn = jax.jit(ev.cost)
-    t_cost = timeit(cost_fn, state)
+    cost, blocks = add("residual+J eval (blocks)", ev.blocks, state)
+    g, diag = add("g + diag assembly", ev.gradient_and_diag, blocks)
+    add("residual-only cost", ev.cost, state)
 
     schur = SchurSolver(ev, iterative=False)
     data = schur.solver_data(blocks)
     d = lm_diagonal(diag, 1e-4, 1e-6, 1e32)
 
-    asm_fn = jax.jit(lambda dd: schur._assemble(data, g, dd))
-    t_asm = timeit(asm_fn, d)
-    asm = asm_fn(d)
+    asm = add("schur assemble (ete/cinv)", lambda dd: schur._assemble(data, g, dd), d)
+    s_mat = add("dense S assembly", schur._dense_s, asm)
+    add("cholesky(S) [xla]", jax.lax.linalg.cholesky, s_mat)
+    if jax.default_backend() == "tpu" and s_mat.dtype == jnp.float32:
+        from skeres_tpu.ops.pallas.cholesky import cholesky_inverse_factor
 
-    dense_s_fn = jax.jit(schur._dense_s)
-    t_dense_s = timeit(dense_s_fn, asm)
-    s_mat = dense_s_fn(asm)
-
-    chol_fn = jax.jit(jax.lax.linalg.cholesky)
-    t_chol = timeit(chol_fn, s_mat)
-
-    rhs_fn = jax.jit(schur._schur_rhs)
-    t_rhs = timeit(rhs_fn, asm)
-    rhs = rhs_fn(asm)
-
-    back_fn = jax.jit(schur._back_substitute)
-    t_back = timeit(back_fn, asm, rhs)
+        add("cholesky(S) [pallas L^-1]", cholesky_inverse_factor, s_mat)
+    rhs = add("schur rhs", schur._schur_rhs, asm)
+    add("back substitute", schur._back_substitute, asm, rhs)
 
     # implicit matvec (ITERATIVE_SCHUR inner op)
     def s_matvec(v):
-        w_apply, wt_apply = schur._w_ct_we_ops(asm)
-        wc = jnp.einsum("pef,pf->pe", asm["cinv"], wt_apply(v))
-        return schur._ftf_apply(asm, v) - w_apply(wc)
+        wc = jnp.einsum("pef,pf->pe", asm["cinv"], schur._wt_apply(asm, v))
+        return schur._ftf_apply(asm, v) - schur._w_apply(asm, wc)
 
-    mv_fn = jax.jit(s_matvec)
-    t_mv = timeit(mv_fn, rhs)
-
-    solve_fn = jax.jit(
-        lambda dd: schur.solve_damped(data, g, diag, 1e-4, 1e-6, 1e32)
+    add("implicit S matvec", s_matvec, rhs)
+    add(
+        "full damped schur solve",
+        lambda dd: schur.solve_damped(data, g, diag, 1e-4, 1e-6, 1e32),
+        d,
+        n=10,
     )
-    t_solve = timeit(solve_fn, d)
 
-    rows = [
-        ("residual+J eval (blocks)", t_blocks),
-        ("g + diag assembly", t_gd),
-        ("residual-only cost", t_cost),
-        ("schur assemble (ete/cinv)", t_asm),
-        ("dense S assembly (pair scatter)", t_dense_s),
-        ("cholesky(S)", t_chol),
-        ("schur rhs", t_rhs),
-        ("back substitute", t_back),
-        ("implicit S matvec", t_mv),
-        ("full damped schur solve", t_solve),
-    ]
-    print(f"{'component':<34}{'ms':>10}")
-    for name, t in rows:
-        print(f"{name:<34}{t * 1e3:>10.2f}")
+    print(f"{'component':<34}{'ms':>10}{'GFLOP':>10}{'TFLOP/s':>10}{'MFU%':>7}")
+    for name, t, flops in rows:
+        tf = flops / t / 1e12 if np.isfinite(flops) else float("nan")
+        mfu = 100.0 * tf * 1e12 / peak if (peak and np.isfinite(tf)) else float("nan")
+        print(
+            f"{name:<34}{t * 1e3:>10.2f}{flops / 1e9:>10.2f}{tf:>10.2f}{mfu:>7.1f}"
+        )
 
 
 if __name__ == "__main__":
