@@ -93,11 +93,15 @@ class Evaluator:
             return jax.device_put(a, self._obs_sharding(a.ndim))
 
         # device constants per batch (padded to a multiple of the shard
-        # count when sharded; `weight` zeroes padded rows' contributions)
+        # count when sharded — and of the evaluation chunk size when
+        # streamed eval is on; `weight` zeroes padded rows' contributions)
         self._batch_const = []
         for b in program.batches:
             B = b.num_blocks
-            pad = (-B) % self._n_shards
+            quantum = self._n_shards
+            if self.chunk_size and B > self.chunk_size:
+                quantum = int(np.lcm(quantum, self.chunk_size))
+            pad = (-B) % quantum
             weight_np = np.concatenate(
                 [np.ones(B), np.zeros(pad)]
             )
@@ -202,12 +206,18 @@ class Evaluator:
             col += t
         return parts
 
-    def _batch_residuals(self, bi: int, state):
-        """Residual-only eval: (cost_per_block (B,),)."""
-        batch = self.program.batches[bi]
-        data, idx, _, _, weight = self._batch_const[bi]
-        xs = self._gather_slots(batch, idx, state)
+    def _chunk_count(self, bi: int) -> int:
+        """Number of lax.map chunks for batch bi (1 = unchunked)."""
+        if not self.chunk_size:
+            return 1
+        B = int(self._batch_const[bi][4].shape[0])
+        if B <= self.chunk_size or B % self.chunk_size != 0:
+            return 1
+        return B // self.chunk_size
 
+    def _rows_residuals(self, batch, data, idx, weight, state):
+        """Residual-only eval over the given rows: cost-per-block (B,)."""
+        xs = self._gather_slots(batch, idx, state)
         if data is None:
             r = jax.vmap(lambda *x: batch.fn(tuple(x), None))(*xs)
         else:
@@ -220,10 +230,36 @@ class Evaluator:
         rho0, _, _ = batch.loss.evaluate(s)
         return 0.5 * rho0
 
-    def _batch_residuals_and_jacobian(self, bi: int, state):
-        """Full eval for one batch: (cost (B,), r (B,m), J (B,m,T)) corrected."""
+    def _batch_residuals(self, bi: int, state):
+        """Residual-only eval: (cost_per_block (B,),)."""
         batch = self.program.batches[bi]
-        data, idx, _, mask, weight = self._batch_const[bi]
+        data, idx, _, _, weight = self._batch_const[bi]
+        C = self._chunk_count(bi)
+        if C == 1:
+            return self._rows_residuals(batch, data, idx, weight, state)
+
+        def chunk_fn(args):
+            data_c, idx_c, weight_c = args
+            return self._rows_residuals(batch, data_c, idx_c, weight_c, state)
+
+        split = lambda a: a.reshape((C, -1) + a.shape[1:])
+        args = (
+            None if data is None else jax.tree_util.tree_map(split, data),
+            tuple(split(ix) for ix in idx),
+            split(weight),
+        )
+        out = jax.lax.map(chunk_fn, args)
+        return out.reshape(-1)
+
+    def _rows_residuals_and_jacobian(
+        self, batch, data, idx, mask, weight, state
+    ):
+        """Full eval over the given rows: (cost (B,), r (B,m), J (B,m,T))
+        corrected. Gathers, linearization, and the Triggs correction all
+        happen on just these rows, so chunked callers bound the transient
+        footprint to one chunk (SURVEY.md §6: streamed evaluation is what
+        lets ~1M-point venice fit; reference counterpart is
+        ``program_evaluator.h``'s streaming over residual blocks)."""
         xs = self._gather_slots(batch, idx, state)
         manifolds = [self.program.groups[gi].manifold for gi in batch.slot_groups]
         T = batch.block_tangent_size
@@ -250,6 +286,42 @@ class Evaluator:
         cost, r_c, (jac_c,) = apply_loss(batch.loss, r, [jac])
         jac_c = jac_c * mask[:, None, :]  # zero out constant coordinates
         return cost, r_c, jac_c
+
+    def _batch_residuals_and_jacobian(self, bi: int, state):
+        """Full eval for one batch: (cost (B,), r (B,m), J (B,m,T)) corrected.
+
+        With ``chunk_size`` set (SolverOptions.evaluation_chunk_size) and
+        B > chunk_size, the pass streams over row chunks with ``lax.map``
+        (sequential scan): outputs are still materialized (the solvers keep
+        them resident), but the linearize/corrector transients are bounded
+        by one chunk instead of the whole batch."""
+        batch = self.program.batches[bi]
+        data, idx, _, mask, weight = self._batch_const[bi]
+        C = self._chunk_count(bi)
+        if C == 1:
+            return self._rows_residuals_and_jacobian(
+                batch, data, idx, mask, weight, state
+            )
+
+        def chunk_fn(args):
+            data_c, idx_c, mask_c, weight_c = args
+            return self._rows_residuals_and_jacobian(
+                batch, data_c, idx_c, mask_c, weight_c, state
+            )
+
+        split = lambda a: a.reshape((C, -1) + a.shape[1:])
+        args = (
+            None if data is None else jax.tree_util.tree_map(split, data),
+            tuple(split(ix) for ix in idx),
+            split(mask),
+            split(weight),
+        )
+        cost, r, jac = jax.lax.map(chunk_fn, args)
+        return (
+            cost.reshape(-1),
+            r.reshape((-1,) + r.shape[2:]),
+            jac.reshape((-1,) + jac.shape[2:]),
+        )
 
     # -- public pure functions (wrap in jit at the call site) -----------------
 

@@ -484,8 +484,12 @@ class Problem:
             fn=fn,
             loss=loss,
             slot_groups=slot_groups,
+            # kept as numpy arrays (not per-row lists): bulk batches are
+            # venice-scale (~5M rows) and are never appended to row-wise
             slot_indices=[
-                list(np.arange(B) if idx is None else np.asarray(idx, dtype=np.int64))
+                np.arange(B, dtype=np.int64)
+                if idx is None
+                else np.asarray(idx, dtype=np.int64)
                 for _, idx in norm_params
             ],
             data_rows=[("bulk", data, B)],

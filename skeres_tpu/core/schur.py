@@ -512,19 +512,25 @@ class SchurSolver:
         fallback otherwise. Returns (x, solve_fn) so refinement can reuse
         the factorization."""
         from skeres_tpu.ops.pallas.cholesky import (
+            MAX_BLOCKED_CHOLESKY_N,
             MAX_PALLAS_CHOLESKY_N,
+            blocked_chol_solve,
+            blocked_cholesky_factor,
             chol_solve,
             cholesky_inverse_factor,
         )
 
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and s.shape[0] <= MAX_PALLAS_CHOLESKY_N
-            and s.dtype == jnp.float32
+        on_tpu_f32 = (
+            jax.default_backend() == "tpu" and s.dtype == jnp.float32
         )
-        if use_pallas:
+        if on_tpu_f32 and s.shape[0] <= MAX_PALLAS_CHOLESKY_N:
             linv = cholesky_inverse_factor(s)
             return chol_solve(linv, rhs), lambda b: chol_solve(linv, b)
+        if on_tpu_f32 and s.shape[0] <= MAX_BLOCKED_CHOLESKY_N:
+            # venice-scale reduced camera system (S ~ 16k x 16k): blocked
+            # right-looking factorization, Pallas panels + MXU GEMM updates
+            fac = blocked_cholesky_factor(s)
+            return blocked_chol_solve(fac, rhs), lambda b: blocked_chol_solve(fac, b)
         l = jax.lax.linalg.cholesky(s)
         solve = lambda b: jax.scipy.linalg.cho_solve((l, True), b)
         return solve(rhs), solve

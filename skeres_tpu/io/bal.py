@@ -181,15 +181,13 @@ def synthetic_bal(
         cameras[i, 8] = 1e-13
 
     # observations: each point seen by a few consecutive cameras
-    cam_idx, pt_idx = [], []
-    for p in range(num_points):
-        start = rng.integers(0, num_cameras)
-        k = min(observations_per_point, num_cameras)
-        for j in range(k):
-            cam_idx.append((start + j) % num_cameras)
-            pt_idx.append(p)
-    cam_idx = np.asarray(cam_idx, dtype=np.int32)
-    pt_idx = np.asarray(pt_idx, dtype=np.int32)
+    # (vectorized — venice-scale generation is ~1M points / ~5M obs)
+    k = min(observations_per_point, num_cameras)
+    start = rng.integers(0, num_cameras, size=num_points)
+    cam_idx = (
+        (start[:, None] + np.arange(k)[None, :]) % num_cameras
+    ).reshape(-1).astype(np.int32)
+    pt_idx = np.repeat(np.arange(num_points, dtype=np.int32), k)
 
     from skeres_tpu.models.reprojection import snavely_reprojection_error
 

@@ -43,7 +43,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["cholesky_inverse_factor", "chol_solve", "MAX_PALLAS_CHOLESKY_N"]
+__all__ = [
+    "cholesky_inverse_factor",
+    "chol_solve",
+    "MAX_PALLAS_CHOLESKY_N",
+    "MAX_BLOCKED_CHOLESKY_N",
+    "BlockedCholFactor",
+    "blocked_cholesky_factor",
+    "blocked_chol_solve",
+]
 
 NB = 128  # block size: one MXU tile
 MAX_PALLAS_CHOLESKY_N = 1024  # (n^2 + n*NB) * 4B * ~3 buffers must fit VMEM
@@ -148,22 +156,29 @@ def _use_interpret():
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad",))
-def _chol_inv_padded(a, n_pad):
+def _chol_both_padded(a, n_pad):
+    """Run the VMEM kernel, returning BOTH ``L`` and ``inv(L)`` (each
+    (n, n) lower). The factor is needed by the blocked large-N driver."""
     n = a.shape[0]
     if n_pad != n:
         # pad with an identity tail so the factor stays well-defined
         pad = n_pad - n
         a = jnp.pad(a, ((0, pad), (0, pad)))
         a = a.at[jnp.arange(n, n_pad), jnp.arange(n, n_pad)].set(1.0)
-    linv = pl.pallas_call(
+    linv, l = pl.pallas_call(
         functools.partial(_chol_inv_kernel, n=n_pad),
-        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), a.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, n_pad), a.dtype),
+            jax.ShapeDtypeStruct((n_pad, n_pad), a.dtype),
+        ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n_pad, n_pad), a.dtype)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
         interpret=_use_interpret(),
     )(a)
-    return linv[:n, :n]
+    return l[:n, :n], linv[:n, :n]
 
 
 def cholesky_inverse_factor(a):
@@ -171,10 +186,144 @@ def cholesky_inverse_factor(a):
     ``a.shape[0] <= MAX_PALLAS_CHOLESKY_N``; callers gate on that."""
     n = a.shape[0]
     n_pad = max(NB, -(-n // NB) * NB)
-    return _chol_inv_padded(a, n_pad)
+    return _chol_both_padded(a, n_pad)[1]
 
 
 def chol_solve(linv, b):
     """Solve ``A x = b`` given ``linv = inv(L)``: two GEMVs, no
     triangular-solve latency."""
     return linv.T @ (linv @ b)
+
+
+# ---------------------------------------------------------------------------
+# Blocked HBM-resident factorization for n > MAX_PALLAS_CHOLESKY_N
+# (reference lineage: ``internal/ceres/dense_cholesky.cc`` LAPACK/cuDSS
+# backends at bundle-adjustment reduced-camera-system sizes — venice-1778's
+# S is ~16k x 16k, far past what one VMEM residency allows).
+#
+# Right-looking factorization over PANEL-wide block columns: each diagonal
+# block is factored (and inverted) by the VMEM Pallas kernel above, while
+# the panel scale ``A_panel @ inv(Lkk)^T`` and the trailing symmetric
+# update ``A -= P P^T`` — where ALL the FLOPs are: n^3/3 total vs the
+# kernel's k * PANEL^3/3 — are ordinary XLA GEMMs that tile perfectly onto
+# the MXU. The Python loop unrolls at trace time (n/PANEL <= 32 steps,
+# static shrinking slices), so XLA sees a fixed DAG of large matmuls
+# instead of the latency-bound sequential dynamic-slice chain its own
+# ``lax.linalg.cholesky`` lowers to at these sizes.
+# ---------------------------------------------------------------------------
+
+PANEL = MAX_PALLAS_CHOLESKY_N  # blocked driver's panel width
+MAX_BLOCKED_CHOLESKY_N = 32768  # (n^2)*4B resident in HBM twice + GEMM scratch
+
+
+class BlockedCholFactor:
+    """Factorization handle: ``l`` is the full (n_pad, n_pad) lower factor,
+    ``dinv`` the stacked (k, panel, panel) inverses of its diagonal panels
+    (so the triangular solves below are GEMMs, never scalar substitution)."""
+
+    def __init__(self, l, dinv, n):
+        self.l = l
+        self.dinv = dinv
+        self.n = n
+
+    @property
+    def panel(self):
+        return self.dinv.shape[1]
+
+    def tree_flatten(self):
+        return (self.l, self.dinv), self.n
+
+    @classmethod
+    def tree_unflatten(cls, n, children):
+        return cls(children[0], children[1], n)
+
+
+jax.tree_util.register_pytree_node(
+    BlockedCholFactor,
+    BlockedCholFactor.tree_flatten,
+    BlockedCholFactor.tree_unflatten,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "panel"))
+def _blocked_factor_padded(a, n_pad, panel):
+    n = a.shape[0]
+    if n_pad != n:
+        pad = n_pad - n
+        a = jnp.pad(a, ((0, pad), (0, pad)))
+        a = a.at[jnp.arange(n, n_pad), jnp.arange(n, n_pad)].set(1.0)
+    k = n_pad // panel
+    l = a
+    dinvs = []
+    for i in range(k):
+        off = i * panel
+        end = off + panel
+        lkk, vkk = _chol_both_padded(l[off:end, off:end], panel)
+        dinvs.append(vkk)
+        l = l.at[off:end, off:end].set(lkk)
+        if end < n_pad:
+            pcol = jnp.dot(
+                l[end:, off:end],
+                vkk.T,
+                preferred_element_type=a.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            l = l.at[end:, off:end].set(pcol)
+            trail = l[end:, end:] - jnp.dot(
+                pcol,
+                pcol.T,
+                preferred_element_type=a.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            l = l.at[end:, end:].set(trail)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    l = jnp.where(jj <= ii, l, 0.0)
+    return l, jnp.stack(dinvs)
+
+
+def blocked_cholesky_factor(a, panel: int = PANEL):
+    """Factor SPD ``a`` (n <= MAX_BLOCKED_CHOLESKY_N) into a
+    :class:`BlockedCholFactor`. Complements :func:`cholesky_inverse_factor`
+    past the single-VMEM-residency cap. ``panel`` is overridable mainly so
+    CPU interpret-mode tests can exercise the multi-panel logic cheaply."""
+    n = a.shape[0]
+    n_pad = max(panel, -(-n // panel) * panel)
+    l, dinv = _blocked_factor_padded(a, n_pad, panel)
+    return BlockedCholFactor(l, dinv, n)
+
+
+def _blocked_solve_padded(l, dinv, b_pad):
+    n_pad = l.shape[0]
+    panel = dinv.shape[1]
+    k = n_pad // panel
+    # forward substitution L y = b, one (panel, off) GEMV per block row
+    y = jnp.zeros_like(b_pad)
+    for i in range(k):
+        off = i * panel
+        end = off + panel
+        rhs = b_pad[off:end]
+        if off > 0:
+            rhs = rhs - l[off:end, :off] @ y[:off]
+        y = y.at[off:end].set(dinv[i] @ rhs)
+    # back substitution L^T x = y
+    x = jnp.zeros_like(b_pad)
+    for i in reversed(range(k)):
+        off = i * panel
+        end = off + panel
+        rhs = y[off:end]
+        if end < n_pad:
+            rhs = rhs - l[end:, off:end].T @ x[end:]
+        x = x.at[off:end].set(dinv[i].T @ rhs)
+    return x
+
+
+_blocked_solve_padded = jax.jit(_blocked_solve_padded)
+
+
+def blocked_chol_solve(fac: BlockedCholFactor, b):
+    """Solve ``A x = b`` given a :class:`BlockedCholFactor` of ``A``."""
+    n_pad = fac.l.shape[0]
+    b_pad = jnp.pad(b, (0, n_pad - fac.n)) if n_pad != fac.n else b
+    x = _blocked_solve_padded(fac.l, fac.dinv, b_pad)
+    return x[: fac.n]

@@ -1,0 +1,60 @@
+"""Streamed (chunked) evaluation: ``SolverOptions.evaluation_chunk_size``
+must change memory behavior only — cost/r/J/g/diag and full solves must
+match the unchunked path bit-tolerantly (reference counterpart:
+``program_evaluator.h``'s streaming over residual blocks; SURVEY.md §6
+"chunked/streamed evaluation ... lets ~1M-point venice fit")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import skeres_tpu as st
+from skeres_tpu.core.evaluator import Evaluator
+from skeres_tpu.core.options import SolverOptions
+from skeres_tpu.core.types import LinearSolverType, TerminationType
+from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+
+def _bal_problem():
+    bal = synthetic_bal(
+        num_cameras=5, num_points=60, observations_per_point=3, seed=3,
+    )
+    problem, cams, pts = build_bal_problem(bal)
+    return problem
+
+
+def test_chunked_eval_matches_unchunked():
+    problem = _bal_problem()
+    program = problem.compile()
+    ev_full = Evaluator(program)
+    ev_chunk = Evaluator(program, chunk_size=16)  # 180 obs -> pads to 192
+    state = program.initial_state(ev_full.dtype)
+
+    assert any(ev_chunk._chunk_count(bi) > 1
+               for bi in range(len(program.batches)))
+
+    c_full = jax.jit(ev_full.cost)(state)
+    c_chunk = jax.jit(ev_chunk.cost)(state)
+    np.testing.assert_allclose(float(c_full), float(c_chunk), rtol=1e-12)
+
+    cost_f, blocks_f = jax.jit(ev_full.blocks)(state)
+    cost_c, blocks_c = jax.jit(ev_chunk.blocks)(state)
+    np.testing.assert_allclose(float(cost_f), float(cost_c), rtol=1e-12)
+    g_f, d_f = jax.jit(ev_full.gradient_and_diag)(blocks_f)
+    g_c, d_c = jax.jit(ev_chunk.gradient_and_diag)(blocks_c)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_c), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_c), rtol=1e-10)
+
+
+def test_chunked_solve_matches_full_trajectory():
+    opts = dict(
+        linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
+        max_num_iterations=8,
+    )
+    p1 = _bal_problem()
+    s1 = st.solve(SolverOptions(**opts), p1)
+    p2 = _bal_problem()
+    s2 = st.solve(SolverOptions(evaluation_chunk_size=16, **opts), p2)
+    assert s1.termination_type == s2.termination_type
+    np.testing.assert_allclose(s1.final_cost, s2.final_cost, rtol=1e-9)
+    assert len(s1.iterations) == len(s2.iterations)

@@ -6,7 +6,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from skeres_tpu.ops.pallas.cholesky import chol_solve, cholesky_inverse_factor
+from skeres_tpu.ops.pallas.cholesky import (
+    blocked_chol_solve,
+    blocked_cholesky_factor,
+    chol_solve,
+    cholesky_inverse_factor,
+)
 from skeres_tpu.ops.segment_reduce import apply_reduce_plan, build_reduce_plan
 from skeres_tpu.ops.small_inverse import batched_spd_inverse
 
@@ -24,6 +29,21 @@ def test_pallas_cholesky_inverse_factor(n):
     x = np.asarray(
         chol_solve(jnp.asarray(linv), jnp.asarray(b, jnp.float32))
     )
+    np.testing.assert_allclose(x, np.linalg.solve(a, b), rtol=0, atol=5e-4)
+
+
+@pytest.mark.parametrize("n,panel", [(300, 128), (515, 128), (384, 384)])
+def test_blocked_cholesky_factor_solve(n, panel):
+    """Blocked HBM-scale path (small panels so interpret mode stays fast;
+    on TPU the default 1024 panel covers venice's ~16k S)."""
+    rng = np.random.default_rng(n)
+    m = rng.standard_normal((n, n))
+    a = m @ m.T + n * np.eye(n)
+    fac = blocked_cholesky_factor(jnp.asarray(a, jnp.float32), panel=panel)
+    l = np.asarray(fac.l)[:n, :n]
+    np.testing.assert_allclose(l, np.linalg.cholesky(a), rtol=0, atol=3e-3)
+    b = rng.standard_normal(n)
+    x = np.asarray(blocked_chol_solve(fac, jnp.asarray(b, jnp.float32)))
     np.testing.assert_allclose(x, np.linalg.solve(a, b), rtol=0, atol=5e-4)
 
 
