@@ -65,7 +65,11 @@ class Evaluator:
     ):
         self.program = program
         self.dtype = dtype or default_dtype()
-        self.chunk_size = chunk_size
+        # streamed evaluation reshapes the row axis into (chunks, rows) —
+        # incompatible with sharding that same axis; under a mesh the
+        # per-shard row count is already 1/n_shards of the batch, which is
+        # the same transient bound chunking buys on one device
+        self.chunk_size = None if mesh is not None else chunk_size
         self.mesh = mesh  # jax.sharding.Mesh for residual-block sharding
         self.num_tangent = program.num_tangent
 
@@ -148,24 +152,35 @@ class Evaluator:
         # scatter-free reduction plans per (batch, slot): XLA scatter-add is
         # the profiled assembly bottleneck on TPU; destination indices are
         # static, so strategy is planned host-side (ops/segment_reduce.py).
-        # Under SPMD sharding gathers from sharded operands would allgather,
-        # so the mesh path keeps scatters (XLA turns them into psum).
-        from skeres_tpu.ops.segment_reduce import build_reduce_plan
+        # Under SPMD sharding, plain gathers from sharded operands would
+        # allgather — so the mesh path uses *sharded* plans instead: each
+        # shard runs its own local windowed gather/one-hot reduction inside
+        # shard_map, combined by one explicit psum (SURVEY.md §3.8).
+        from skeres_tpu.ops.segment_reduce import (
+            build_reduce_plan,
+            build_sharded_reduce_plan,
+        )
 
-        force_scatter = mesh is not None
         self._slot_plans = []
         for bi, b in enumerate(program.batches):
             _, idx_pad, _, _, _ = self._batch_const[bi]
-            self._slot_plans.append(
-                tuple(
+            if mesh is None:
+                plans = tuple(
                     build_reduce_plan(
-                        np.asarray(ix),
-                        program.groups[gi].num_blocks,
-                        force_scatter=force_scatter,
+                        np.asarray(ix), program.groups[gi].num_blocks
                     )
                     for gi, ix in zip(b.slot_groups, idx_pad)
                 )
-            )
+            else:
+                plans = tuple(
+                    build_sharded_reduce_plan(
+                        np.asarray(ix),
+                        program.groups[gi].num_blocks,
+                        self._n_shards,
+                    )
+                    for gi, ix in zip(b.slot_groups, idx_pad)
+                )
+            self._slot_plans.append(plans)
         # tangent column span per slot within each batch's T axis
         self._slot_cols = []
         for b in program.batches:
@@ -178,9 +193,17 @@ class Evaluator:
     def slot_reduce(self, bi: int, s: int, values):
         """Sum per-row contributions ``values (B, D)`` into the slot's
         destination blocks -> ``(n_blocks, D)``."""
-        from skeres_tpu.ops.segment_reduce import apply_reduce_plan
+        from skeres_tpu.ops.segment_reduce import (
+            apply_reduce_plan,
+            apply_sharded_reduce_plan,
+        )
 
-        return apply_reduce_plan(self._slot_plans[bi][s], values)
+        plan = self._slot_plans[bi][s]
+        if self.mesh is not None:
+            return apply_sharded_reduce_plan(
+                plan, values, self.mesh, self.mesh.axis_names[0]
+            )
+        return apply_reduce_plan(plan, values)
 
     def assemble_tangent(self, per_group):
         """Concatenate per-group ``(n_blocks, t)`` arrays into the global

@@ -15,21 +15,37 @@ the host once:
               CSR-by-destination layout ``slots (n_dest, K)`` and reduce by
               gather + masked sum (gathers vectorize on TPU; scatters do
               not).
-  'scatter' — fallback (also used under SPMD sharding, where a gather
-              from a sharded operand would allgather).
+  'scatter' — fallback.
 
 Values rows must already be zero for padded/invalid rows; every plan then
 produces identical results to the scatter.
+
+Under SPMD (mesh set), a *sharded* plan keeps the scatter-free strategy:
+inside ``shard_map`` each shard runs its own LOCAL gather plan — the plan
+arrays are stacked per shard and sharded along with the values, so every
+shard gathers only its local rows into a windowed [lo, lo+R) slice of the
+destination range — then the windowed partials are placed with
+``dynamic_update_slice`` and combined with ONE ``psum`` (the SURVEY §3.8
+"psum of J^T J contributions" design; this is what the reference's
+lock-guarded scatter becomes on a TPU mesh).
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["ReducePlan", "build_reduce_plan", "apply_reduce_plan"]
+__all__ = [
+    "ReducePlan",
+    "build_reduce_plan",
+    "apply_reduce_plan",
+    "ShardedReducePlan",
+    "build_sharded_reduce_plan",
+    "apply_sharded_reduce_plan",
+]
 
 # one-hot transient is (B, n_dest): cap its element count
 ONEHOT_LIMIT = 1 << 24
@@ -88,3 +104,135 @@ def apply_reduce_plan(plan: ReducePlan, values) -> jnp.ndarray:
     return jnp.zeros((plan.n_dest, values.shape[1]), values.dtype).at[plan.idx].add(
         values
     )
+
+
+# ---------------------------------------------------------------------------
+# SPMD (shard_map) plans
+# ---------------------------------------------------------------------------
+
+
+class ShardedReducePlan(NamedTuple):
+    kind: str  # 'spmd_onehot' | 'spmd_gather'
+    n_dest: int
+    n_shards: int
+    window: int  # R: destination-window width each shard reduces into
+    lo: jnp.ndarray  # (n_shards,) window start per shard
+    idx: Optional[jnp.ndarray]  # (B,) window-local dest ids ('spmd_onehot')
+    slots: Optional[jnp.ndarray]  # (n_shards, R, K) local row ids ('spmd_gather')
+    mask: Optional[jnp.ndarray]  # (n_shards, R, K)
+
+
+def build_sharded_reduce_plan(
+    idx_np: np.ndarray,
+    n_dest: int,
+    n_shards: int,
+    onehot_limit: int = ONEHOT_LIMIT,
+) -> ShardedReducePlan:
+    """Plan a per-shard local reduction. Rows are split contiguously into
+    ``n_shards`` equal shards (the evaluator pads batches to a multiple of
+    the shard count). Each shard reduces its rows into the window
+    [lo_s, lo_s + R) of destination ids it actually touches — R is the max
+    window over shards, so when destination ids are clustered (BAL points:
+    observations are grouped by point) per-shard work stays ~local even
+    though the accumulator is replicated."""
+    idx_np = np.asarray(idx_np, dtype=np.int64)
+    b = len(idx_np)
+    assert b % n_shards == 0, (b, n_shards)
+    bs = b // n_shards
+    parts = idx_np.reshape(n_shards, bs)
+
+    los = parts.min(axis=1)
+    his = parts.max(axis=1)
+    window = int((his - los + 1).max())
+    window = min(window, n_dest)
+    # clamp so lo + window <= n_dest (windows may then overlap; psum sums)
+    los = np.minimum(los, n_dest - window)
+
+    local_ids = parts - los[:, None]  # (n_shards, bs) in [0, window)
+
+    if bs * window <= onehot_limit:
+        return ShardedReducePlan(
+            "spmd_onehot",
+            n_dest,
+            n_shards,
+            window,
+            jnp.asarray(los, jnp.int32),
+            jnp.asarray(local_ids.reshape(-1), jnp.int32),
+            None,
+            None,
+        )
+
+    # per-shard CSR-by-destination gather layout, padded to the max fan-in
+    k = 1
+    slot_list, mask_list = [], []
+    ks = []
+    for s in range(n_shards):
+        counts = np.bincount(local_ids[s], minlength=window)
+        ks.append(int(counts.max()) if window else 0)
+    k = max(1, max(ks))
+    for s in range(n_shards):
+        ids = local_ids[s]
+        order = np.argsort(ids, kind="stable")
+        sorted_ids = ids[order]
+        starts = np.searchsorted(sorted_ids, np.arange(window))
+        pos = np.arange(bs) - starts[sorted_ids]
+        slots = np.zeros((window, k), np.int32)
+        mask = np.zeros((window, k), np.float32)
+        slots[sorted_ids, pos] = order
+        mask[sorted_ids, pos] = 1.0
+        slot_list.append(slots)
+        mask_list.append(mask)
+    return ShardedReducePlan(
+        "spmd_gather",
+        n_dest,
+        n_shards,
+        window,
+        jnp.asarray(los, jnp.int32),
+        None,
+        jnp.asarray(np.stack(slot_list)),
+        jnp.asarray(np.stack(mask_list)),
+    )
+
+
+def apply_sharded_reduce_plan(plan: ShardedReducePlan, values, mesh, axis: str):
+    """``values (B, D)`` (sharded over rows) summed by destination ->
+    replicated ``(n_dest, D)``: local windowed reduce + one psum."""
+    from jax.sharding import PartitionSpec as P
+
+    d = values.shape[-1]
+
+    if plan.kind == "spmd_onehot":
+
+        def body(vals, ids, lo):
+            oh = (
+                ids[:, None] == jnp.arange(plan.window, dtype=ids.dtype)
+            ).astype(vals.dtype)
+            local = jnp.einsum("bg,bd->gd", oh, vals)  # (R, D)
+            out = jnp.zeros((plan.n_dest, d), vals.dtype)
+            out = jax.lax.dynamic_update_slice(
+                out, local, (lo[0], jnp.zeros((), lo.dtype))
+            )
+            return jax.lax.psum(out, axis)
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=P(),
+        )(values, plan.idx, plan.lo)
+
+    def body(vals, slots, mask, lo):
+        gathered = vals[slots[0]] * mask[0][..., None].astype(vals.dtype)
+        local = jnp.sum(gathered, axis=1)  # (R, D)
+        out = jnp.zeros((plan.n_dest, d), vals.dtype)
+        out = jax.lax.dynamic_update_slice(
+                out, local, (lo[0], jnp.zeros((), lo.dtype))
+            )
+        return jax.lax.psum(out, axis)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+    )(values, plan.slots, plan.mask, plan.lo)

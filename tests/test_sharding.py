@@ -72,10 +72,11 @@ def test_sharded_solve_matches_single_device(mesh, bal):
     s8 = run(mesh)
     assert s8.num_devices == len(jax.devices())
     np.testing.assert_allclose(s8.initial_cost, s1.initial_cost, rtol=1e-10)
-    # the sharded path uses scatter reductions, the single-device path
-    # planned gather/one-hot reductions (ops/segment_reduce.py); different
-    # summation orders perturb the LM trajectory, so compare the *converged*
-    # cost rather than a bitwise-identical trajectory
+    # the sharded path reduces per-shard windows then psums, the
+    # single-device path uses global gather/one-hot plans
+    # (ops/segment_reduce.py); different summation orders perturb the LM
+    # trajectory, so compare the *converged* cost rather than a
+    # bitwise-identical trajectory
     assert s1.termination_type == TerminationType.CONVERGENCE
     assert s8.termination_type == TerminationType.CONVERGENCE
     np.testing.assert_allclose(s8.final_cost, s1.final_cost, rtol=1e-5)

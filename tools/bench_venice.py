@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Venice-scale bundle adjustment on one chip (BASELINE.md config 5).
+
+Synthetic BAL at venice-1778 scale (1778 cameras, ~1M points, ~5M
+observations, identical Snavely camera model), solved with
+ITERATIVE_SCHUR + SCHUR_JACOBI and streamed (chunked) evaluation.
+Records LM steps/s and peak device memory.
+
+    python tools/bench_venice.py                      # full venice scale
+    python tools/bench_venice.py --num_cameras 200 --num_points 100000
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num_cameras", type=int, default=1778)
+    ap.add_argument("--num_points", type=int, default=1_000_000)
+    ap.add_argument("--obs_per_point", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--chunk", type=int, default=262_144)
+    ap.add_argument("--max_cg_iterations", type=int, default=100)
+    ap.add_argument("--device_loop", action="store_true")
+    ap.add_argument("--linear_solver", default="ITERATIVE_SCHUR")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import skeres_tpu as st
+    from skeres_tpu.core.options import SolverOptions
+    from skeres_tpu.core.types import LinearSolverType
+    from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+    print("backend:", jax.default_backend(), flush=True)
+    t0 = time.time()
+    bal = synthetic_bal(
+        num_cameras=args.num_cameras,
+        num_points=args.num_points,
+        observations_per_point=args.obs_per_point,
+    )
+    print(
+        f"generated {bal.num_cameras} cams / {bal.num_points} pts / "
+        f"{bal.num_observations} obs in {time.time()-t0:.1f}s",
+        flush=True,
+    )
+
+    t0 = time.time()
+    problem, _, _ = build_bal_problem(bal)
+    options = SolverOptions(
+        linear_solver_type=LinearSolverType[args.linear_solver],
+        max_num_iterations=args.iters,
+        evaluation_chunk_size=args.chunk,
+        max_linear_solver_iterations=args.max_cg_iterations,
+        use_device_loop=args.device_loop,
+        device_loop_chunk_iterations=args.iters,
+        function_tolerance=0.0,
+        gradient_tolerance=0.0,
+        parameter_tolerance=0.0,
+        minimizer_progress_to_stdout=not args.device_loop,
+    )
+    summary = st.solve(options, problem)
+    total = time.time() - t0
+    steps = summary.num_successful_steps + summary.num_unsuccessful_steps
+    secs = summary.minimizer_time_in_seconds
+
+    mem = {}
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        mem = {
+            "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+            "bytes_limit": stats.get("bytes_limit"),
+        }
+    except Exception:
+        pass
+
+    out = {
+        "metric": "venice_lm_steps_per_sec",
+        "value": round(steps / secs, 4) if secs else None,
+        "unit": "iter/s",
+        "extra": {
+            "cams": bal.num_cameras,
+            "points": bal.num_points,
+            "obs": bal.num_observations,
+            "steps": int(steps),
+            "minimizer_seconds": round(secs, 2),
+            "wall_seconds_incl_compile": round(total, 2),
+            "initial_cost": float(summary.initial_cost),
+            "final_cost": float(summary.final_cost),
+            "termination": str(summary.termination_type),
+            "memory": mem,
+        },
+    }
+    print(json.dumps(out))
+    print(summary.full_report())
+
+
+if __name__ == "__main__":
+    main()
