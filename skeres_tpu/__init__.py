@@ -24,6 +24,7 @@ from skeres_tpu.ops.loss import (
     ComposedLoss,
     HuberLoss,
     LossFunction,
+    LossFunctionWrapper,
     ScaledLoss,
     SoftLOneLoss,
     TolerantLoss,

@@ -236,7 +236,17 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
             it, term = carry[8], carry[9]
             return (it < K) & (term == _RUNNING)
 
-        def run_chunk(state, cost, g, diag, data, scale, radius, decrease_factor):
+        def run_chunk(
+            state, cost, g, diag, data, scale, radius, decrease_factor, consts
+        ):
+            # consts: ev.device_consts passed as an argument (jit may not
+            # close over globally-sharded arrays under jax.distributed)
+            with ev.bind(consts):
+                return _run_chunk(
+                    state, cost, g, diag, data, scale, radius, decrease_factor
+                )
+
+        def _run_chunk(state, cost, g, diag, data, scale, radius, decrease_factor):
             hist = (
                 jnp.full((K,), jnp.nan, dtype),
                 jnp.full((K,), jnp.nan, dtype),
@@ -264,13 +274,20 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
             )
             return jax.lax.while_loop(cond, body, carry)
 
-        def first_linearize(state):
-            cost, g, diag, data, scale = self._linearize_parts(state)
-            g_max = jnp.max(jnp.abs(g))
-            return cost, g, diag, data, scale, g_max
+        def first_linearize(state, consts):
+            with ev.bind(consts):
+                cost, g, diag, data, scale = self._linearize_parts(state)
+                g_max = jnp.max(jnp.abs(g))
+                return cost, g, diag, data, scale, g_max
 
-        self._first_linearize = jax.jit(first_linearize)
-        self._run_chunk = jax.jit(run_chunk)
+        self._first_linearize_jit = jax.jit(first_linearize)
+        self._run_chunk_jit = jax.jit(run_chunk)
+        self._first_linearize = lambda state: self._first_linearize_jit(
+            state, ev.device_consts
+        )
+        self._run_chunk = lambda *args: self._run_chunk_jit(
+            *args, ev.device_consts
+        )
 
     def compile_programs(self, state):
         """AOT-compile the device programs (preprocessor phase).
@@ -287,16 +304,29 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
             # the sharded path lets jit compile lazily instead
             return
         dtype = self.ev.dtype
-        out = jax.eval_shape(self._first_linearize, state)
-        self._first_linearize = self._first_linearize.lower(state).compile()
+        ev = self.ev
+        consts = ev.device_consts
+        out = jax.eval_shape(self._first_linearize_jit, state, consts)
+        self._first_linearize_jit = self._first_linearize_jit.lower(
+            state, consts
+        ).compile()
+        self._first_linearize = lambda state: self._first_linearize_jit(
+            state, ev.device_consts
+        )
         cost_s, g_s, diag_s, data_s, scale_s, _gmax_s = out
         state_s = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
         )
+        consts_s = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), consts
+        )
         scalar = jax.ShapeDtypeStruct((), dtype)
-        self._run_chunk = self._run_chunk.lower(
-            state_s, cost_s, g_s, diag_s, data_s, scale_s, scalar, scalar
+        self._run_chunk_jit = self._run_chunk_jit.lower(
+            state_s, cost_s, g_s, diag_s, data_s, scale_s, scalar, scalar, consts_s
         ).compile()
+        self._run_chunk = lambda *args: self._run_chunk_jit(
+            *args, ev.device_consts
+        )
 
     # -- host driver ------------------------------------------------------
 

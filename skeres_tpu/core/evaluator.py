@@ -100,6 +100,11 @@ class Evaluator:
         # count when sharded — and of the evaluation chunk size when
         # streamed eval is on; `weight` zeroes padded rows' contributions)
         self._batch_const = []
+        # host copies of the padded per-slot/tangent index arrays: plan and
+        # Schur-structure building must not fetch device arrays (under
+        # jax.distributed they span non-addressable devices)
+        self._batch_idx_np = []
+        self._batch_tidx_np = []
         for b in program.batches:
             B = b.num_blocks
             quantum = self._n_shards
@@ -132,10 +137,12 @@ class Evaluator:
                     b.data,
                 )
             )
-            idx = tuple(
-                place_obs(jnp.asarray(pad_rows(ix))) for ix in b.slot_indices
-            )
-            tidx = place_obs(jnp.asarray(pad_rows(b.tangent_index)))
+            idx_np = tuple(pad_rows(ix) for ix in b.slot_indices)
+            self._batch_idx_np.append(idx_np)
+            idx = tuple(place_obs(jnp.asarray(ix)) for ix in idx_np)
+            tidx_np = pad_rows(b.tangent_index)
+            self._batch_tidx_np.append(tidx_np)
+            tidx = place_obs(jnp.asarray(tidx_np))
             # free-coordinate mask gathered per block (B, T)
             mask = place_obs(
                 jnp.asarray(
@@ -163,18 +170,16 @@ class Evaluator:
 
         self._slot_plans = []
         for bi, b in enumerate(program.batches):
-            _, idx_pad, _, _, _ = self._batch_const[bi]
+            idx_pad = self._batch_idx_np[bi]
             if mesh is None:
                 plans = tuple(
-                    build_reduce_plan(
-                        np.asarray(ix), program.groups[gi].num_blocks
-                    )
+                    build_reduce_plan(ix, program.groups[gi].num_blocks)
                     for gi, ix in zip(b.slot_groups, idx_pad)
                 )
             else:
                 plans = tuple(
                     build_sharded_reduce_plan(
-                        np.asarray(ix),
+                        ix,
                         program.groups[gi].num_blocks,
                         self._n_shards,
                     )
@@ -189,6 +194,32 @@ class Evaluator:
                 cols.append((c, t))
                 c += t
             self._slot_cols.append(tuple(cols))
+
+    @property
+    def device_consts(self):
+        """The evaluator's device-resident constants as a pytree. Under
+        ``jax.distributed`` these span non-addressable devices, and jit may
+        not close over such arrays — the minimizer passes this pytree as an
+        explicit argument to every device program and rebinds it during
+        tracing (:meth:`bind`). Single-process behavior is unchanged."""
+        return {"batch": self._batch_const, "free_mask": self._free_mask}
+
+    def bind(self, consts):
+        """Context manager: temporarily swap in (traced) device constants
+        while tracing a jitted program."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _ctx():
+            old = self._batch_const, self._free_mask
+            self._batch_const = consts["batch"]
+            self._free_mask = consts["free_mask"]
+            try:
+                yield
+            finally:
+                self._batch_const, self._free_mask = old
+
+        return _ctx()
 
     def slot_reduce(self, bi: int, s: int, values):
         """Sum per-row contributions ``values (B, D)`` into the slot's

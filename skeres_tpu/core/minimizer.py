@@ -236,7 +236,14 @@ class TrustRegionMinimizer:
             o.trust_region_strategy_type == TrustRegionStrategyType.DOGLEG
         )
 
-        def linearize(state):
+        def linearize(state, consts):
+            # consts: ev.device_consts — passed as an argument (not closed
+            # over) so the programs work under jax.distributed, where jit
+            # may not capture globally-sharded arrays
+            with ev.bind(consts):
+                return _linearize(state)
+
+        def _linearize(state):
             cost, blocks = ev.blocks(state)
             g, diag = ev.gradient_and_diag(blocks)
             data = self._solver_data(blocks)
@@ -261,13 +268,22 @@ class TrustRegionMinimizer:
                 gn = ()
             return (cost, g, diag, data, scale, g_max_norm, g_norm) + gn
 
-        def solve_step(state, data, g, diag, scale, radius, *gn):
+        def solve_step(state, data, g, diag, scale, radius, consts, *gn):
+            with ev.bind(consts):
+                return _solve_step(state, data, g, diag, scale, radius, *gn)
+
+        def _solve_step(state, data, g, diag, scale, radius, *gn):
             # scaled-space damped solve: J_s = J S  (S = diag(scale))
             gs = g * scale
             diag_s = diag * scale * scale
             if dogleg:
                 (y_gn,) = gn
-                y, lin_iters = self._dogleg_step(data, scale, gs, y_gn, radius)
+                if o.dogleg_type == DoglegType.SUBSPACE_DOGLEG:
+                    y, lin_iters = self._subspace_dogleg_step(
+                        data, scale, gs, y_gn, radius
+                    )
+                else:
+                    y, lin_iters = self._dogleg_step(data, scale, gs, y_gn, radius)
             else:
                 data_s = self._scale_data(data, scale)
                 y, lin_iters = self._solve_damped(data_s, gs, diag_s, radius)
@@ -300,15 +316,27 @@ class TrustRegionMinimizer:
                 dx,
             )
 
-        def try_step(new_state):
+        def try_step(new_state, consts):
             """Residual-only evaluation of the candidate (its host timing
             populates Summary.residual_evaluation_time_in_seconds, the
             reference's residual/Jacobian/linear-solver time split)."""
-            return ev.cost(new_state), ev.x_norm(new_state)
+            with ev.bind(consts):
+                return ev.cost(new_state), ev.x_norm(new_state)
 
-        self.linearize = jax.jit(linearize)
-        self.solve_step = jax.jit(solve_step)
-        self.try_step = jax.jit(try_step)
+        self._linearize_jit = jax.jit(linearize)
+        self._solve_step_jit = jax.jit(solve_step)
+        self._try_step_jit = jax.jit(try_step)
+        self.linearize = lambda state: self._linearize_jit(
+            state, ev.device_consts
+        )
+        self.solve_step = lambda state, data, g, diag, scale, radius, *gn: (
+            self._solve_step_jit(
+                state, data, g, diag, scale, radius, ev.device_consts, *gn
+            )
+        )
+        self.try_step = lambda new_state: self._try_step_jit(
+            new_state, ev.device_consts
+        )
 
     def compile_programs(self, state):
         """AOT-compile the device programs (preprocessor phase) so
@@ -321,23 +349,42 @@ class TrustRegionMinimizer:
             # the sharded path lets jit compile lazily instead
             return
         dtype = self.ev.dtype
-        out = jax.eval_shape(self.linearize, state)
-        self.linearize = self.linearize.lower(state).compile()
+        ev = self.ev
+        consts = ev.device_consts
+        out = jax.eval_shape(self._linearize_jit, state, consts)
+        self._linearize_jit = self._linearize_jit.lower(state, consts).compile()
+        self.linearize = lambda state: self._linearize_jit(
+            state, ev.device_consts
+        )
         cost_s, g_s, diag_s, data_s, scale_s, _gm, _gn, *gn_s = out
         state_s = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
         )
+        consts_s = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), consts
+        )
         scalar = jax.ShapeDtypeStruct((), dtype)
         solve_out = jax.eval_shape(
-            self.solve_step, state_s, data_s, g_s, diag_s, scale_s, scalar, *gn_s
+            self._solve_step_jit,
+            state_s, data_s, g_s, diag_s, scale_s, scalar, consts_s, *gn_s,
         )
-        self.solve_step = self.solve_step.lower(
-            state_s, data_s, g_s, diag_s, scale_s, scalar, *gn_s
+        self._solve_step_jit = self._solve_step_jit.lower(
+            state_s, data_s, g_s, diag_s, scale_s, scalar, consts_s, *gn_s
         ).compile()
+        self.solve_step = lambda state, data, g, diag, scale, radius, *gn: (
+            self._solve_step_jit(
+                state, data, g, diag, scale, radius, ev.device_consts, *gn
+            )
+        )
         new_state_s = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), solve_out[0]
         )
-        self.try_step = self.try_step.lower(new_state_s).compile()
+        self._try_step_jit = self._try_step_jit.lower(
+            new_state_s, consts_s
+        ).compile()
+        self.try_step = lambda new_state: self._try_step_jit(
+            new_state, ev.device_consts
+        )
 
     def _dogleg_step(self, data, scale, gs, y_gn, radius):
         """Traditional dogleg in the Jacobi-scaled space (reference:
@@ -371,6 +418,95 @@ class TrustRegionMinimizer:
             jnp.where(gn_ok, y_gn, pc),
             jnp.where(pc_norm >= radius, cauchy_capped, interp),
         )
+        return y, jnp.ones((), dtype=jnp.int32)
+
+    def _subspace_dogleg_step(self, data, scale, gs, y_gn, radius):
+        """2-D subspace dogleg (reference: ``dogleg_strategy.cc``
+        ComputeSubspaceDoglegStep): minimize the quadratic model exactly on
+        the trust-region disk restricted to span{gradient, Gauss-Newton
+        point} (Jacobi-scaled space). Where the reference root-solves a
+        quartic for the boundary Lagrange multiplier, here the boundary is
+        parametrized by angle and minimized by a dense theta grid + Newton
+        polish — branch-free, compiler-friendly, and accurate to machine
+        precision after polishing (TPU-idiomatic equivalent of the same
+        exact subproblem)."""
+        dtype = gs.dtype
+        g_norm = jnp.sqrt(jnp.dot(gs, gs))
+        b1 = gs / jnp.where(g_norm > 0.0, g_norm, 1.0)
+        proj = jnp.dot(y_gn, b1)
+        v = y_gn - proj * b1
+        v_norm = jnp.sqrt(jnp.dot(v, v))
+        # degenerate subspace (gn ~ parallel to g, or non-finite gn):
+        # fall back to the traditional dogleg step
+        gn_ok = jnp.isfinite(jnp.dot(y_gn, y_gn))
+        ok = gn_ok & (v_norm > 1e-12 * jnp.maximum(g_norm, 1.0))
+        b2 = v / jnp.where(v_norm > 0.0, v_norm, 1.0)
+
+        def bmul(u):
+            return scale * self._jtj_dx(data, None, scale * u)
+
+        bb1 = bmul(b1)
+        bb2 = bmul(b2)
+        b_sub = jnp.stack(
+            [
+                jnp.stack([jnp.dot(b1, bb1), jnp.dot(b1, bb2)]),
+                jnp.stack([jnp.dot(b2, bb1), jnp.dot(b2, bb2)]),
+            ]
+        )
+        g_sub = jnp.stack([jnp.dot(gs, b1), jnp.dot(gs, b2)])
+
+        # interior minimizer of the 2x2 model (if PD and inside the disk)
+        det = b_sub[0, 0] * b_sub[1, 1] - b_sub[0, 1] * b_sub[1, 0]
+        pd = (b_sub[0, 0] > 0.0) & (det > 0.0)
+        inv = (
+            jnp.stack(
+                [
+                    jnp.stack([b_sub[1, 1], -b_sub[0, 1]]),
+                    jnp.stack([-b_sub[1, 0], b_sub[0, 0]]),
+                ]
+            )
+            / jnp.where(det != 0.0, det, 1.0)
+        )
+        x_int = -(inv @ g_sub)
+        interior_ok = pd & (jnp.dot(x_int, x_int) <= radius * radius)
+
+        # boundary: x = radius (cos t, sin t); m(t) periodic — grid + Newton
+        t = jnp.linspace(0.0, 2.0 * np.pi, 256, endpoint=False).astype(dtype)
+
+        def model(t):
+            c, s = jnp.cos(t), jnp.sin(t)
+            x0 = radius * c
+            x1 = radius * s
+            return (
+                0.5
+                * (
+                    b_sub[0, 0] * x0 * x0
+                    + 2.0 * b_sub[0, 1] * x0 * x1
+                    + b_sub[1, 1] * x1 * x1
+                )
+                + g_sub[0] * x0
+                + g_sub[1] * x1
+            )
+
+        vals = jax.vmap(model)(t)
+        t0 = t[jnp.argmin(vals)]
+        dm = jax.grad(model)
+        d2m = jax.grad(dm)
+
+        def newton(t, _):
+            h = d2m(t)
+            return t - dm(t) / jnp.where(jnp.abs(h) > 1e-30, h, 1.0), None
+
+        t_star, _ = jax.lax.scan(newton, t0, None, length=4)
+        x_bnd = radius * jnp.stack([jnp.cos(t_star), jnp.sin(t_star)])
+        # guard: Newton may walk to a maximum; keep the better of the two
+        x_bnd = jnp.where(model(t_star) <= model(t0), x_bnd, radius * jnp.stack([jnp.cos(t0), jnp.sin(t0)]))
+
+        x_sub = jnp.where(interior_ok, x_int, x_bnd)
+        y_sub = x_sub[0] * b1 + x_sub[1] * b2
+
+        y_trad, _ = self._dogleg_step(data, scale, gs, y_gn, radius)
+        y = jnp.where(ok, y_sub, y_trad)
         return y, jnp.ones((), dtype=jnp.int32)
 
     def _scale_data(self, data, scale):

@@ -118,7 +118,8 @@ class SchurSolver:
         self.batch_info = []
         e_batches = []
         for bi, b in enumerate(program.batches):
-            _, idx_pad, tidx_pad, _, _ = evaluator._batch_const[bi]
+            idx_pad = evaluator._batch_idx_np[bi]
+            tidx_pad = evaluator._batch_tidx_np[bi]
             e_slots = [
                 s for s, gi in enumerate(b.slot_groups) if gi == self.elim_group
             ]
@@ -150,7 +151,7 @@ class SchurSolver:
             ).astype(np.int64)
             all_cols = np.arange(b.block_tangent_size)
             f_cols = all_cols[col_group != self.elim_group]
-            fidx = glob2ret[np.asarray(tidx_pad)[:, f_cols]]
+            fidx = glob2ret[tidx_pad[:, f_cols]]
             assert (fidx >= 0).all()
             info = dict(
                 ret_slots=ret_slots,
@@ -164,11 +165,11 @@ class SchurSolver:
             if e_slots and ret_slots:
                 e_batches.append(bi)
 
-        if len(e_batches) > 1:
-            raise NotImplementedError(
-                "multiple camera-point batch signatures not yet supported"
-            )
-        self.e_batch = e_batches[0] if e_batches else None
+        # any number of eliminated-x-retained batch signatures is supported
+        # (reference: schur_eliminator_impl.h handles arbitrary E/F block
+        # mixes); e_batch is kept only as the dense-W fast-path candidate
+        self.e_batches = e_batches
+        self.e_batch = e_batches[0] if len(e_batches) == 1 else None
 
         # Dense-W fast path for DENSE_SCHUR: viable when the E-batch couples
         # one point block to ONE retained block per row (the BA case) and
@@ -184,10 +185,10 @@ class SchurSolver:
                 n_cams = gr.num_blocks
                 w_bytes = self.num_points * n_cams * f_size * self.e_size * 4
                 if len(self.ret_blocks) == 1 and w_bytes <= 2 << 30:
-                    _, idx_pad, _, _, _ = evaluator._batch_const[bi]
+                    idx_pad = evaluator._batch_idx_np[bi]
                     e_slot = b.slot_groups.index(self.elim_group)
-                    cam_idx = np.asarray(idx_pad[s]).astype(np.int64)
-                    pidx_np = np.asarray(idx_pad[e_slot]).astype(np.int64)
+                    cam_idx = idx_pad[s].astype(np.int64)
+                    pidx_np = idx_pad[e_slot].astype(np.int64)
                     lin_idx = pidx_np * n_cams + cam_idx
                     # each (point, camera) cell receives at most a few
                     # observations; a planned gather builds W with zero
@@ -204,33 +205,6 @@ class SchurSolver:
                         f_size=f_size,
                         w_plan=w_plan,
                     )
-
-        # host-side pair enumeration for the S scatter (generic DENSE_SCHUR
-        # fallback): ordered pairs (i, j) of observations of the same point
-        if self.e_batch is not None and not iterative and self.dense_w is None:
-            pidx_np = np.asarray(self.batch_info[self.e_batch]["pidx"]).astype(
-                np.int64
-            )
-            order = np.argsort(pidx_np, kind="stable")
-            sorted_p = pidx_np[order]
-            starts = np.searchsorted(sorted_p, np.arange(self.num_points), "left")
-            ends = np.searchsorted(sorted_p, np.arange(self.num_points), "right")
-            pi, pj = [], []
-            for p in range(self.num_points):
-                obs = order[starts[p] : ends[p]]
-                k = len(obs)
-                if k < 2:
-                    continue
-                ii, jj = np.meshgrid(obs, obs, indexing="ij")
-                off = ~np.eye(k, dtype=bool)
-                pi.append(ii[off])
-                pj.append(jj[off])
-            if pi:
-                self.pair_i = jnp.asarray(np.concatenate(pi), dtype=jnp.int32)
-                self.pair_j = jnp.asarray(np.concatenate(pj), dtype=jnp.int32)
-            else:
-                self.pair_i = jnp.zeros((0,), dtype=jnp.int32)
-                self.pair_j = jnp.zeros((0,), dtype=jnp.int32)
 
         self._ret_index_dev = jnp.asarray(self.ret_index)
 
@@ -476,36 +450,35 @@ class SchurSolver:
             s_mat = s_mat.at[fidxb[:, :, None], fidxb[:, None, :]].add(ftfb)
         return s_mat
 
+    def _s_matvec(self, asm, v):
+        """The implicit Schur-complement product
+        ``S v = (F^T F + D_f) v - W C^{-1} W^T v`` — fully generic over any
+        number of eliminated-x-retained batch signatures and retained
+        groups (every term loops all batches)."""
+        wc = jnp.einsum("pef,pf->pe", asm["cinv"], self._wt_apply(asm, v))
+        return self._ftf_apply(asm, v) - self._w_apply(asm, wc)
+
     def _dense_s(self, asm):
-        """Materialize S (N_f, N_f)."""
+        """Materialize S (N_f, N_f).
+
+        The generic path applies the implicit matvec to identity columns in
+        lax.map chunks — scatter-free, O(N_f) passes over the observations,
+        and structure-agnostic (it replaces the old host-side camera-pair
+        enumeration + XLA scatter, which could not scale past toy problems
+        and supported only one batch signature; reference counterpart:
+        ``schur_complement_solver.cc`` assembling S cell by cell)."""
         if self.dense_w is not None:
             return self._dense_s_dense_w(asm)
         dtype = asm["g_f"].dtype
-        s = jnp.diag(asm["d_f"])
-        A_all = None
-        for bi, (r, jac, E) in enumerate(asm["per_batch"]):
-            info = self.batch_info[bi]
-            if info["tf"] == 0:
-                continue
-            F = jac[:, :, info["f_cols"]]
-            fidx = info["fidx"]
-            ftf = jnp.einsum("bmf,bmg->bfg", F, F)
-            if E is not None:
-                A = jnp.einsum("bmf,bme->bfe", F, E)
-                Y = jnp.einsum("bfe,beg->bfg", A, asm["cinv"][info["pidx"]])
-                ftf = ftf - jnp.einsum("bfe,bge->bfg", Y, A)  # i == j pair
-                A_all, Y_all, fidx_all = A, Y, fidx
-            s = s.at[fidx[:, :, None], fidx[:, None, :]].add(ftf)
-
-        # off-diagonal camera pairs sharing a point: -Y_i A_j^T
-        if self.e_batch is not None and self.pair_i.shape[0] > 0:
-            Yi = Y_all[self.pair_i]
-            Aj = A_all[self.pair_j]
-            contrib = -jnp.einsum("bfe,bge->bfg", Yi, Aj)
-            fi = fidx_all[self.pair_i]
-            fj = fidx_all[self.pair_j]
-            s = s.at[fi[:, :, None], fj[:, None, :]].add(contrib)
-        return s
+        eye = jnp.eye(self.num_f, dtype=dtype)
+        cols = jax.lax.map(
+            lambda e: self._s_matvec(asm, e),
+            eye,
+            batch_size=min(self.num_f, self.pair_chunk or 128),
+        )
+        # S is symmetric; average out any one-ulp asymmetry so Cholesky
+        # sees an exactly-symmetric operand
+        return 0.5 * (cols + cols.T)
 
     def _factor_solve(self, s, rhs):
         """Solve S x = rhs; Pallas VMEM Cholesky when it fits, XLA
@@ -556,8 +529,7 @@ class SchurSolver:
         else:
 
             def s_matvec(v):
-                wc = jnp.einsum("pef,pf->pe", asm["cinv"], self._wt_apply(asm, v))
-                return self._ftf_apply(asm, v) - self._w_apply(asm, wc)
+                return self._s_matvec(asm, v)
 
             if self.preconditioner == PreconditionerType.SCHUR_JACOBI:
                 blocks = self._schur_jacobi_blocks(asm)

@@ -26,6 +26,7 @@ __all__ = [
     "TukeyLoss",
     "ScaledLoss",
     "ComposedLoss",
+    "LossFunctionWrapper",
 ]
 
 _TINY = 1e-300  # floor for rho' so sqrt(rho') in the corrector stays valid
@@ -184,3 +185,24 @@ class ComposedLoss(LossFunction):
         g0, g1, g2 = self.g.evaluate(s)
         f0, f1, f2 = self.f.evaluate(g0)
         return f0, f1 * g1, f2 * g1 * g1 + f1 * g2
+
+
+class LossFunctionWrapper(LossFunction):
+    """A loss whose underlying robustifier can be swapped after problem
+    construction (reference: ``LossFunctionWrapper``,
+    ``include/ceres/loss_function.h``).
+
+    JIT semantics differ from the reference: the wrapped loss is traced at
+    ``solve()`` time, so :meth:`reset` takes effect on the NEXT solve, not
+    mid-solve (each solve re-traces the evaluation programs)."""
+
+    def __init__(self, loss: LossFunction | None):
+        self.loss = loss
+
+    def reset(self, loss: LossFunction | None) -> None:
+        self.loss = loss
+
+    def evaluate(self, s):
+        if self.loss is None:
+            return s, jnp.ones_like(s), jnp.zeros_like(s)
+        return self.loss.evaluate(s)

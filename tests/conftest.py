@@ -35,3 +35,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) >= 8, jax.devices()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "distributed: spawns 2 jax.distributed CPU processes (slow)",
+    )

@@ -210,6 +210,77 @@ def test_powell_dogleg():
     assert summary.final_cost < 1e-10
 
 
+def test_powell_subspace_dogleg():
+    """2-D subspace dogleg (reference: dogleg_strategy.cc
+    ComputeSubspaceDoglegStep) must converge on Powell and, on a
+    rejected-step trajectory (Rosenbrock), do no worse than traditional
+    dogleg in iterations-to-converge class."""
+    from skeres_tpu.core.types import DoglegType, TrustRegionStrategyType
+
+    problem, summary, xs = _solve_powell(
+        LinearSolverType.DENSE_NORMAL_CHOLESKY,
+        trust_region_strategy_type=TrustRegionStrategyType.DOGLEG,
+        dogleg_type=DoglegType.SUBSPACE_DOGLEG,
+    )
+    assert summary.termination_type == TerminationType.CONVERGENCE, summary.message
+    assert summary.final_cost < 1e-10
+
+
+def test_subspace_dogleg_rosenbrock_converges():
+    from skeres_tpu.core.types import DoglegType, TrustRegionStrategyType
+
+    problem = st.Problem()
+    xy = problem.add_parameter_block([-1.2, 1.0])
+
+    def r(params, data):
+        (p,) = params
+        return jnp.stack([10.0 * (p[1] - p[0] ** 2), 1.0 - p[0]])
+
+    problem.add_residual_block(r, None, [xy])
+    summary = st.solve(
+        SolverOptions(
+            max_num_iterations=200,
+            trust_region_strategy_type=TrustRegionStrategyType.DOGLEG,
+            dogleg_type=DoglegType.SUBSPACE_DOGLEG,
+        ),
+        problem,
+    )
+    assert summary.termination_type == TerminationType.CONVERGENCE, summary.message
+    x = np.asarray(xy.value)
+    np.testing.assert_allclose(x, [1.0, 1.0], atol=1e-6)
+
+
+def test_loss_function_wrapper_reset():
+    """LossFunctionWrapper: swapping the wrapped loss between solves
+    changes the NEXT solve (reference: loss_function.h; jit semantics
+    documented on the class)."""
+    from skeres_tpu.ops.loss import HuberLoss, LossFunctionWrapper
+
+    wrapper = LossFunctionWrapper(HuberLoss(0.1))
+
+    def run():
+        x, y = _curve_data()
+        problem = st.Problem()
+        mc = problem.add_parameter_block([0.0, 0.0])
+
+        def resid(params, data):
+            (m_c,) = params
+            xx, yy = data
+            return jnp.reshape(yy - jnp.exp(m_c[0] * xx + m_c[1]), (1,))
+
+        problem.add_residual_blocks(
+            resid, wrapper, [(mc, np.zeros(len(x), dtype=np.int32))],
+            data=(jnp.asarray(x), jnp.asarray(y)),
+        )
+        return st.solve(SolverOptions(max_num_iterations=60), problem)
+
+    s_huber = run()
+    wrapper.reset(None)  # trivial loss on the next solve
+    s_trivial = run()
+    # robustified and trivial final costs must differ (the swap took effect)
+    assert abs(s_huber.final_cost - s_trivial.final_cost) > 1e-6
+
+
 def test_curve_fitting_line_search_lbfgs():
     from skeres_tpu.core.types import MinimizerType
 

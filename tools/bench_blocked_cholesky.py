@@ -21,12 +21,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _force(out):
+    """Through the axon relay block_until_ready can return before the
+    computation finishes (memory: axon-timing-quirk); fetch one element of
+    every output leaf to force completion."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel") and leaf.size:
+            jax.device_get(leaf.ravel()[0])
+
+
 def timeit(fn, *args, n=5):
-    out = jax.block_until_ready(fn(*args))
+    out = fn(*args)
+    _force(out)
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _force(out)
     return (time.time() - t0) / n, out
 
 

@@ -43,6 +43,15 @@ def peak_flops():
     return None, kind
 
 
+def _force(out):
+    """Force completion: through the axon relay block_until_ready can
+    return before the computation finishes (memory: axon-timing-quirk), so
+    fetch one element of every output leaf instead."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel") and leaf.size:
+            jax.device_get(leaf.ravel()[0])
+
+
 def bench_compiled(fn, *args, n=30):
     """Returns (seconds_per_call, xla_flops_estimate, compiled)."""
     jitted = jax.jit(fn)
@@ -55,11 +64,11 @@ def bench_compiled(fn, *args, n=30):
     except Exception:
         flops = float("nan")
     out = compiled(*args)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.time()
     for _ in range(n):
         out = compiled(*args)
-    jax.block_until_ready(out)
+        _force(out)
     return (time.time() - t0) / n, flops, compiled
 
 
