@@ -31,10 +31,19 @@ __all__ = ["InnerIterationRefiner"]
 class InnerIterationRefiner:
     """Builds a pure ``refine(state) -> state`` for the independent group."""
 
-    def __init__(self, evaluator, num_sweeps: int = 1, damping: float = 1e-9):
+    def __init__(
+        self,
+        evaluator,
+        num_sweeps: int = 1,
+        damping: float = 1e-9,
+        tolerance: float = 0.0,
+    ):
         self.ev = evaluator
         self.num_sweeps = int(num_sweeps)
         self.damping = float(damping)
+        # reference: Solver::Options::inner_iteration_tolerance — stop the
+        # sweeps early once the relative cost decrease falls below this
+        self.tolerance = float(tolerance)
         program = evaluator.program
 
         elim = [i for i, g in enumerate(program.groups) if g.schur_group == 0]
@@ -75,9 +84,14 @@ class InnerIterationRefiner:
                     for s, t in ((e_slots[0], b.tangent_sizes[e_slots[0]]),)
                 ]
             )
-            _, idx_pad, _, _, _ = evaluator._batch_const[bi]
+            # index from the HOST copy: a device array here would be closed
+            # over by the jitted programs, which jax.distributed forbids
+            # for globally-sharded arrays
             self.batch_cols.append(
-                (jnp.asarray(cols), idx_pad[e_slots[0]])
+                (
+                    jnp.asarray(cols),
+                    jnp.asarray(evaluator._batch_idx_np[bi][e_slots[0]]),
+                )
             )
 
     def refine(self, state):
@@ -113,5 +127,30 @@ class InnerIterationRefiner:
             )
             return new_state, None
 
-        state, _ = jax.lax.scan(sweep, state, None, length=self.num_sweeps)
+        if self.num_sweeps == 1 or self.tolerance <= 0.0:
+            state, _ = jax.lax.scan(sweep, state, None, length=self.num_sweeps)
+            return state
+
+        # tolerance-controlled sweeps (reference: inner_iteration_tolerance):
+        # stop once the relative cost decrease of a sweep falls below tol
+        ev = self.ev
+
+        def cond(carry):
+            _, cost, decrease, i = carry
+            return (i < self.num_sweeps) & (
+                decrease > self.tolerance * jnp.abs(cost)
+            )
+
+        def body(carry):
+            state, cost, _, i = carry
+            new_state, _ = sweep(state, None)
+            new_cost = ev.cost(new_state)
+            return new_state, new_cost, cost - new_cost, i + 1
+
+        cost0 = ev.cost(state)
+        state, _, _, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (state, cost0, jnp.asarray(jnp.inf, ev.dtype), jnp.zeros((), jnp.int32)),
+        )
         return state

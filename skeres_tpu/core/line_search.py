@@ -272,10 +272,13 @@ class LineSearchMinimizer:
         direction_type = o.line_search_direction_type
 
         def make_inverse_hessian():
+            scaling = o.use_approximate_eigenvalue_bfgs_scaling
             if direction_type == LineSearchDirectionType.LBFGS:
-                return _LowRankInverseHessian(o.max_lbfgs_rank)
+                return _LowRankInverseHessian(
+                    o.max_lbfgs_rank, use_scaling=scaling
+                )
             if direction_type == LineSearchDirectionType.BFGS:
-                return _DenseInverseHessian(int(g.size))
+                return _DenseInverseHessian(int(g.size), use_scaling=scaling)
             return None
 
         lbfgs = make_inverse_hessian()

@@ -67,6 +67,7 @@ class SolverOptions:
     )
     line_search_type: LineSearchType = LineSearchType.WOLFE
     max_lbfgs_rank: int = 20
+    use_approximate_eigenvalue_bfgs_scaling: bool = True
     line_search_sufficient_function_decrease: float = 1e-4
     line_search_sufficient_curvature_decrease: float = 0.9
     max_num_line_search_step_size_iterations: int = 20
@@ -84,6 +85,7 @@ class SolverOptions:
 
     # -- inner iterations --------------------------------------------------------
     use_inner_iterations: bool = False
+    inner_iteration_tolerance: float = 1e-3
 
     # -- logging / callbacks -------------------------------------------------
     logging_type: LoggingType = LoggingType.PER_MINIMIZER_ITERATION
@@ -116,6 +118,50 @@ class SolverOptions:
     # write a Perfetto/XProf trace of the minimizer to this directory
     # (SURVEY.md §6 tracing; view with xprof / perfetto)
     trace_dir: Optional[str] = None
+
+    # -- reference fields with NO counterpart here (audit, VERDICT r1 #10) ----
+    # Each absent ``Solver::Options`` field of the reference lineage, with
+    # why it is absent. N/A = no meaningful TPU counterpart by design;
+    # TODO = would be meaningful but is not yet implemented.
+    #
+    #   num_threads                       N/A — vmap/SPMD replace the thread
+    #                                     pool (SURVEY.md §3.8); use `mesh`.
+    #   dense_linear_algebra_library_type N/A — XLA/Pallas is the backend
+    #                                     (reference: EIGEN/LAPACK/CUDA).
+    #   sparse_linear_algebra_library_type, use_postordering,
+    #   dynamic_sparsity                  N/A — no general sparse Cholesky on
+    #                                     TPU (documented deviation; pose
+    #                                     graphs route to CGNR).
+    #   linear_solver_ordering,
+    #   inner_iteration_ordering          replaced by declared groups:
+    #                                     Problem.set_schur_elimination_group
+    #                                     (SURVEY §3.3 "declared, not
+    #                                     discovered").
+    #   visibility_clustering_type,
+    #   residual_blocks_for_subset_preconditioner
+    #                                     N/A v1 — CLUSTER_*/SUBSET
+    #                                     preconditioners out of scope
+    #                                     (SURVEY §3.6).
+    #   use_explicit_schur_complement     subsumed: DENSE_SCHUR is explicit,
+    #                                     ITERATIVE_SCHUR implicit; the
+    #                                     dense-W fast path auto-selects.
+    #   trust_region_problem_dump_directory / _iterations_to_dump /
+    #   _format_type                      TODO (debug dumps) — `trace_dir`
+    #                                     (XProf/Perfetto) covers profiling.
+    #   line_search_interpolation_type,
+    #   max/min_line_search_step_contraction,
+    #   max_line_search_step_expansion    TODO — the Wolfe/Armijo searches
+    #                                     use cubic-free bisection-style
+    #                                     zoom; contraction bounds are fixed
+    #                                     at the reference defaults.
+    #   spse_tolerance                    TODO — POWER_SERIES_EXPANSION runs
+    #                                     a fixed max_num_spse_iterations
+    #                                     (while_loop-friendly); tolerance
+    #                                     early-exit not yet plumbed.
+    #   eta (per-solve forcing sequence)  present (`eta`).
+    #   update_state_every_iteration      present.
+    #   disable_all_safety_checks         N/A — checks are trace-time here
+    #                                     and cost nothing at run time.
 
     def is_valid(self) -> tuple[bool, str]:
         """Counterpart of Solver::Options::IsValid."""

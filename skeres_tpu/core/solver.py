@@ -135,7 +135,11 @@ def solve(
         from skeres_tpu.core.inner_iterations import InnerIterationRefiner
 
         if any(g.schur_group == 0 for g in program.groups):
-            inner_refiner = InnerIterationRefiner(evaluator)
+            inner_refiner = InnerIterationRefiner(
+                evaluator,
+                num_sweeps=5,
+                tolerance=options.inner_iteration_tolerance,
+            )
         else:
             summary.message = (
                 "use_inner_iterations ignored: no independent group declared "
