@@ -47,7 +47,13 @@ def _select_linear_solver(
     if given in (LinearSolverType.DENSE_SCHUR, LinearSolverType.ITERATIVE_SCHUR):
         has_schur = any(g.schur_group == 0 for g in program.groups)
         if not has_schur:
-            return LinearSolverType.DENSE_NORMAL_CHOLESKY
+            # no user-declared elimination group: discover one, like the
+            # reference preprocessor's automatic Schur ordering
+            # (reorder_program.cc ComputeStableSchurOrdering)
+            from skeres_tpu.core.ordering import apply_schur_ordering
+
+            if apply_schur_ordering(program) is None:
+                return LinearSolverType.DENSE_NORMAL_CHOLESKY
     return given
 
 

@@ -262,18 +262,23 @@ def _blocked_factor_padded(a, n_pad, panel):
         dinvs.append(vkk)
         l = l.at[off:end, off:end].set(lkk)
         if end < n_pad:
+            # Precision.HIGH (bf16_3x passes): measured on-chip at n=16384
+            # vs f64 — HIGHEST 589 ms / 8e-7 rel err, HIGH 96 ms / 5e-5,
+            # DEFAULT 63 ms / 1.4e-2. HIGH ties XLA's cholesky on speed at
+            # ~20x better than needed accuracy; refinement (schur
+            # _factor_solve) covers the rest.
             pcol = jnp.dot(
                 l[end:, off:end],
                 vkk.T,
                 preferred_element_type=a.dtype,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=jax.lax.Precision.HIGH,
             )
             l = l.at[end:, off:end].set(pcol)
             trail = l[end:, end:] - jnp.dot(
                 pcol,
                 pcol.T,
                 preferred_element_type=a.dtype,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=jax.lax.Precision.HIGH,
             )
             l = l.at[end:, end:].set(trail)
     ii = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
