@@ -159,26 +159,28 @@ def synthetic_bal(
     import jax
     import jax.numpy as jnp
 
-    centers = []
-    for i in range(num_cameras):
-        theta = 2.0 * np.pi * i / num_cameras
-        c = np.array([radius * np.cos(theta), radius * np.sin(theta), 3.0])
-        centers.append(c)
-        # camera looks at the origin along its -z axis (BAL convention)
-        z = c / np.linalg.norm(c)  # -z axis points from origin to camera
-        x = np.cross(np.array([0.0, 0.0, 1.0]), z)
-        x /= np.linalg.norm(x)
-        y = np.cross(z, x)
-        r_mat = np.stack([x, y, z], axis=0)  # world -> camera rotation
-        aa = np.asarray(
-            rot.rotation_matrix_to_angle_axis(jnp.asarray(r_mat))
-        )
-        t = -r_mat @ c
-        cameras[i, 0:3] = aa
-        cameras[i, 3:6] = t
-        cameras[i, 6] = 500.0 + rng.normal(0, 10)  # focal
-        cameras[i, 7] = -1e-7
-        cameras[i, 8] = 1e-13
+    # vectorized camera ring (venice scale is ~1.8k cameras; per-camera
+    # device calls through a network-attached chip would dominate)
+    theta = 2.0 * np.pi * np.arange(num_cameras) / num_cameras
+    c = np.stack(
+        [radius * np.cos(theta), radius * np.sin(theta), np.full_like(theta, 3.0)],
+        axis=1,
+    )
+    # camera looks at the origin along its -z axis (BAL convention)
+    z = c / np.linalg.norm(c, axis=1, keepdims=True)
+    x = np.cross(np.broadcast_to([0.0, 0.0, 1.0], z.shape), z)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    y = np.cross(z, x)
+    r_mat = np.stack([x, y, z], axis=1)  # (n, 3, 3) world -> camera
+    aa = np.asarray(
+        jax.vmap(rot.rotation_matrix_to_angle_axis)(jnp.asarray(r_mat))
+    )
+    t = -np.einsum("nij,nj->ni", r_mat, c)
+    cameras[:, 0:3] = aa
+    cameras[:, 3:6] = t
+    cameras[:, 6] = 500.0 + rng.normal(0, 10, num_cameras)  # focal
+    cameras[:, 7] = -1e-7
+    cameras[:, 8] = 1e-13
 
     # observations: each point seen by a few consecutive cameras
     # (vectorized — venice-scale generation is ~1M points / ~5M obs)
