@@ -27,6 +27,7 @@ import numpy as np
 
 from skeres_tpu.core.problem import CompiledBatch, Program
 from skeres_tpu.ops.corrector import apply_loss
+from skeres_tpu.ops.small_einsum import vpu_einsum
 
 __all__ = ["Evaluator", "BatchBlocks"]
 
@@ -407,7 +408,7 @@ class Evaluator:
         ]
         for bi, b in enumerate(blocks):
             batch = self.program.batches[bi]
-            gb = jnp.einsum("bmi,bm->bi", b.jac, b.r)
+            gb = vpu_einsum("bmi,bm->bi", b.jac, b.r)
             db = jnp.sum(b.jac * b.jac, axis=1)  # (B, T)
             for s, gi in enumerate(batch.slot_groups):
                 c, t = self._slot_cols[bi][s]
@@ -458,8 +459,8 @@ class Evaluator:
         ]
         for bi, b in enumerate(blocks):
             batch = self.program.batches[bi]
-            jv = jnp.einsum("bmi,bi->bm", b.jac, v[b.idx])
-            jtv = jnp.einsum("bmi,bm->bi", b.jac, jv)  # (B, T)
+            jv = vpu_einsum("bmi,bi->bm", b.jac, v[b.idx])
+            jtv = vpu_einsum("bmi,bm->bi", b.jac, jv)  # (B, T)
             for s, gi in enumerate(batch.slot_groups):
                 c, t = self._slot_cols[bi][s]
                 accs[gi] = accs[gi] + self.slot_reduce(bi, s, jtv[:, c : c + t])

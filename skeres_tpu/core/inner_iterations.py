@@ -25,6 +25,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from skeres_tpu.ops.small_einsum import vpu_einsum
+
 __all__ = ["InnerIterationRefiner"]
 
 
@@ -109,8 +111,8 @@ class InnerIterationRefiner:
                     continue
                 cols, pidx = cols_idx
                 jac = b.jac[:, :, cols]  # (B, m, t)
-                h = h.at[pidx].add(jnp.einsum("bmi,bmj->bij", jac, jac))
-                rhs = rhs.at[pidx].add(-jnp.einsum("bmi,bm->bi", jac, b.r))
+                h = h.at[pidx].add(vpu_einsum("bmi,bmj->bij", jac, jac))
+                rhs = rhs.at[pidx].add(-vpu_einsum("bmi,bm->bi", jac, b.r))
             h = h + self.damping * jnp.broadcast_to(
                 jnp.eye(t, dtype=ev.dtype), h.shape
             )

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from skeres_tpu.core.evaluator import Evaluator
+from skeres_tpu.ops.small_einsum import vpu_einsum
 from skeres_tpu.core.linear_solvers import (
     lm_diagonal,
     preconditioned_conjugate_gradients,
@@ -190,8 +191,8 @@ class TrustRegionMinimizer:
             def matvec(v):
                 out = d * v
                 for r, jac, idx in data:
-                    jv = jnp.einsum("bmi,bi->bm", jac, v[idx])
-                    out = out.at[idx].add(jnp.einsum("bmi,bm->bi", jac, jv))
+                    jv = vpu_einsum("bmi,bi->bm", jac, v[idx])
+                    out = out.at[idx].add(vpu_einsum("bmi,bm->bi", jac, jv))
                 return out
 
             m_inv = 1.0 / jnp.maximum(diag + d, jnp.finfo(g.dtype).tiny)
@@ -221,8 +222,8 @@ class TrustRegionMinimizer:
         if st == LinearSolverType.CGNR:
             out = jnp.zeros_like(dx)
             for r, jac, idx in data:
-                jv = jnp.einsum("bmi,bi->bm", jac, dx[idx])
-                out = out.at[idx].add(jnp.einsum("bmi,bm->bi", jac, jv))
+                jv = vpu_einsum("bmi,bi->bm", jac, dx[idx])
+                out = out.at[idx].add(vpu_einsum("bmi,bm->bi", jac, jv))
             return out
         if st in (LinearSolverType.DENSE_SCHUR, LinearSolverType.ITERATIVE_SCHUR):
             return self.schur_solver.jtj_matvec(data, dx)

@@ -46,6 +46,7 @@ from skeres_tpu.core.linear_solvers import (
 )
 from skeres_tpu.core.types import PreconditionerType
 from skeres_tpu.ops.segment_reduce import apply_reduce_plan, build_reduce_plan
+from skeres_tpu.ops.small_einsum import vpu_einsum
 from skeres_tpu.ops.small_inverse import batched_spd_inverse
 
 __all__ = ["SchurSolver"]
@@ -284,7 +285,7 @@ class SchurSolver:
         for bi, (r, jac) in enumerate(data):
             E = self._split_E(bi, jac)
             if E is not None:
-                outer = jnp.einsum("bme,bmf->bef", E, E).reshape(-1, e * e)
+                outer = vpu_einsum("bme,bmf->bef", E, E).reshape(-1, e * e)
                 s_e = self.ev.program.batches[bi].slot_groups.index(
                     self.elim_group
                 )
@@ -305,10 +306,10 @@ class SchurSolver:
             info = self.batch_info[bi]
             if E is None or not info["ret_slots"]:
                 continue
-            Ev = jnp.einsum("bme,be->bm", E, v_e[info["pidx"]])
+            Ev = vpu_einsum("bme,be->bm", E, v_e[info["pidx"]])
             for s, gi, c, t in info["ret_slots"]:
                 Fs = jac[:, :, c : c + t]
-                val = jnp.einsum("bmf,bm->bf", Fs, Ev)
+                val = vpu_einsum("bmf,bm->bf", Fs, Ev)
                 accs[gi] = accs[gi] + self.ev.slot_reduce(bi, s, val)
         return self._ret_assemble(accs)
 
@@ -324,8 +325,8 @@ class SchurSolver:
             for s, gi, c, t in info["ret_slots"]:
                 Fs = jac[:, :, c : c + t]
                 vs = self._ret_view(v_f, gi)[idx_pad[s]]  # (B, t)
-                Fv = Fv + jnp.einsum("bmf,bf->bm", Fs, vs)
-            ef_v = jnp.einsum("bme,bm->be", E, Fv)
+                Fv = Fv + vpu_einsum("bmf,bf->bm", Fs, vs)
+            ef_v = vpu_einsum("bme,bm->be", E, Fv)
             s_e = self.ev.program.batches[bi].slot_groups.index(self.elim_group)
             out = out + self.ev.slot_reduce(bi, s_e, ef_v)
         return out
@@ -342,22 +343,22 @@ class SchurSolver:
             for s, gi, c, t in info["ret_slots"]:
                 Fs = jac[:, :, c : c + t]
                 vs = self._ret_view(v_f, gi)[idx_pad[s]]
-                Fv = Fv + jnp.einsum("bmf,bf->bm", Fs, vs)
+                Fv = Fv + vpu_einsum("bmf,bf->bm", Fs, vs)
             for s, gi, c, t in info["ret_slots"]:
                 Fs = jac[:, :, c : c + t]
                 accs[gi] = accs[gi] + self.ev.slot_reduce(
-                    bi, s, jnp.einsum("bmf,bm->bf", Fs, Fv)
+                    bi, s, vpu_einsum("bmf,bm->bf", Fs, Fv)
                 )
         return asm["d_f"] * v_f + self._ret_assemble(accs)
 
     def _schur_rhs(self, asm):
         """b_f - W C^{-1} b_e with b = -g."""
-        cinv_be = jnp.einsum("pef,pf->pe", asm["cinv"], -asm["g_e"])
+        cinv_be = vpu_einsum("pef,pf->pe", asm["cinv"], -asm["g_e"])
         return -asm["g_f"] - self._w_apply(asm, cinv_be)
 
     def _back_substitute(self, asm, dx_f):
         b_e = -asm["g_e"] - self._wt_apply(asm, dx_f)
-        return jnp.einsum("pef,pf->pe", asm["cinv"], b_e)
+        return vpu_einsum("pef,pf->pe", asm["cinv"], b_e)
 
     def _schur_jacobi_blocks(self, asm, include_e_correction=True):
         """Block diagonal of S per retained block (for the SCHUR_JACOBI
@@ -382,13 +383,13 @@ class SchurSolver:
             info = self.batch_info[bi]
             for s, gi, c, t in info["ret_slots"]:
                 Fs = jac[:, :, c : c + t]
-                ftf = jnp.einsum("bmf,bmg->bfg", Fs, Fs)
+                ftf = vpu_einsum("bmf,bmg->bfg", Fs, Fs)
                 if E is not None and include_e_correction:
-                    A = jnp.einsum("bmf,bme->bfe", Fs, E)
-                    Y = jnp.einsum(
+                    A = vpu_einsum("bmf,bme->bfe", Fs, E)
+                    Y = vpu_einsum(
                         "bfe,beg->bfg", A, asm["cinv"][info["pidx"]]
                     )
-                    ftf = ftf - jnp.einsum("bfe,bge->bfg", Y, A)
+                    ftf = ftf - vpu_einsum("bfe,bge->bfg", Y, A)
                 red = self.ev.slot_reduce(bi, s, ftf.reshape(-1, t * t))
                 outs[gi] = outs[gi] + red.reshape(-1, t, t)
 
@@ -420,17 +421,17 @@ class SchurSolver:
 
         # block-diagonal F^T F via the slot's planned reduction (one-hot
         # matmul for the few-camera case)
-        ftf = jnp.einsum("bmf,bmg->bfg", Fs, Fs)  # (B, f, f)
+        ftf = vpu_einsum("bmf,bmg->bfg", Fs, Fs)  # (B, f, f)
         diag_blocks = self.ev.slot_reduce(bi, s, ftf.reshape(-1, f * f)).reshape(
             nc, f, f
         )
 
         # dense W via the precomputed (point, camera)-cell gather plan
-        a = jnp.einsum("bmf,bme->bfe", Fs, E)  # (B, f, e)
+        a = vpu_einsum("bmf,bme->bfe", Fs, E)  # (B, f, e)
         w = apply_reduce_plan(dw["w_plan"], a.reshape(-1, f * e)).reshape(
             self.num_points, nc, f, e
         )
-        y = jnp.einsum("pcfe,peg->pcfg", w, asm["cinv"])
+        y = vpu_einsum("pcfe,peg->pcfg", w, asm["cinv"])
         corr = jnp.einsum("pcfe,pdge->cfdg", y, w)  # (nc, f, nc, f)
 
         s_mat = -corr.reshape(nc * f, nc * f)
@@ -445,7 +446,7 @@ class SchurSolver:
                 continue
             infob = self.batch_info[bj]
             Fb = jacb[:, :, infob["f_cols"]]
-            ftfb = jnp.einsum("bmf,bmg->bfg", Fb, Fb)
+            ftfb = vpu_einsum("bmf,bmg->bfg", Fb, Fb)
             fidxb = infob["fidx"]
             s_mat = s_mat.at[fidxb[:, :, None], fidxb[:, None, :]].add(ftfb)
         return s_mat
@@ -455,7 +456,7 @@ class SchurSolver:
         ``S v = (F^T F + D_f) v - W C^{-1} W^T v`` — fully generic over any
         number of eliminated-x-retained batch signatures and retained
         groups (every term loops all batches)."""
-        wc = jnp.einsum("pef,pf->pe", asm["cinv"], self._wt_apply(asm, v))
+        wc = vpu_einsum("pef,pf->pe", asm["cinv"], self._wt_apply(asm, v))
         return self._ftf_apply(asm, v) - self._w_apply(asm, wc)
 
     def _dense_s(self, asm):
@@ -585,7 +586,7 @@ class SchurSolver:
             parts = []
             for (start, nb, t), binv in zip(self.ret_blocks, binvs):
                 vb = jax.lax.dynamic_slice_in_dim(v, start, nb * t).reshape(nb, t)
-                parts.append(jnp.einsum("bef,bf->be", binv, vb).reshape(-1))
+                parts.append(vpu_einsum("bef,bf->be", binv, vb).reshape(-1))
             return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
         return apply

@@ -85,3 +85,27 @@ def test_batched_spd_inverse(e):
     a = m @ np.swapaxes(m, 1, 2) + 2 * e * np.eye(e)
     inv = np.asarray(batched_spd_inverse(jnp.asarray(a)))
     np.testing.assert_allclose(inv, np.linalg.inv(a), rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("spec,sa,sb", [
+    ("bme,bmf->bef", (100, 2, 3), (100, 2, 3)),
+    ("bmi,bm->bi", (100, 2, 12), (100, 2)),
+    ("bmi,bi->bm", (100, 2, 12), (100, 12)),
+    ("bme,be->bm", (100, 2, 3), (100, 3)),
+    ("pef,pf->pe", (50, 3, 3), (50, 3)),
+    ("bfe,beg->bfg", (40, 9, 3), (40, 3, 9)),
+    ("bfe,bge->bfg", (40, 9, 3), (40, 9, 3)),
+    ("bmf,bmg->bfg", (40, 2, 9), (40, 2, 9)),
+    ("pcfe,peg->pcfg", (7, 5, 9, 3), (7, 3, 9)),
+])
+def test_vpu_einsum_matches_einsum(spec, sa, sb):
+    from skeres_tpu.ops.small_einsum import vpu_einsum
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.standard_normal(sa))
+    b = jnp.asarray(rng.standard_normal(sb))
+    np.testing.assert_allclose(
+        np.asarray(vpu_einsum(spec, a, b)),
+        np.asarray(jnp.einsum(spec, a, b)),
+        rtol=1e-12, atol=1e-12,
+    )
