@@ -65,6 +65,7 @@ class SchurSolver:
         pair_chunk: Optional[int] = None,
         refinement_iterations: int = 0,
         max_power_series_terms: int = 5,
+        sort_threshold: int = 100_000,
     ):
         self.ev = evaluator
         self.iterative = iterative
@@ -171,6 +172,44 @@ class SchurSolver:
         # mixes); e_batch is kept only as the dense-W fast-path candidate
         self.e_batches = e_batches
         self.e_batch = e_batches[0] if len(e_batches) == 1 else None
+
+        # Camera-sorted layout for huge observation batches (the reference
+        # keeps both row-major E blocks and camera-chunked F access —
+        # schur_eliminator_impl.h's chunk structure; this is its TPU
+        # counterpart): observations arrive point-sorted, so the POINT-side
+        # reductions read sequentially, but the CAMERA-side reductions of
+        # every matvec would gather 5M rows in random order at ~36B
+        # granularity. A per-solve camera-sorted copy of the batch Jacobian
+        # makes the camera-side gathers/reductions sequential too; the one
+        # random permutation gather per damped solve amortizes over all the
+        # PCG iterations inside it.
+        self.sorted_info = {}
+        if evaluator.mesh is None:  # sharded path has per-shard plans
+            for bi in e_batches:
+                info = self.batch_info[bi]
+                b = program.batches[bi]
+                if len(info["ret_slots"]) != 1:
+                    continue
+                s, gi, c, t = info["ret_slots"][0]
+                idx_np = evaluator._batch_idx_np[bi][s]
+                if len(idx_np) < sort_threshold:
+                    continue
+                e_slot = b.slot_groups.index(self.elim_group)
+                perm = np.argsort(idx_np, kind="stable")
+                self.sorted_info[bi] = dict(
+                    perm=jnp.asarray(perm.astype(np.int32)),
+                    cam_plan=build_reduce_plan(
+                        idx_np[perm], program.groups[gi].num_blocks
+                    ),
+                    cam_idx_sorted=jnp.asarray(
+                        idx_np[perm].astype(np.int32)
+                    ),
+                    pidx_sorted=jnp.asarray(
+                        evaluator._batch_idx_np[bi][e_slot][perm].astype(
+                            np.int32
+                        )
+                    ),
+                )
 
         # Dense-W fast path for DENSE_SCHUR: viable when the E-batch couples
         # one point block to ONE retained block per row (the BA case) and
@@ -297,7 +336,15 @@ class SchurSolver:
         ete = ete + jax.vmap(jnp.diag)(d_e)
         # closed-form batched SPD inverse (3x3 cofactors for BAL)
         cinv = batched_spd_inverse(ete)
-        return dict(per_batch=per_batch, cinv=cinv, g_f=g_f, d_f=d_f, g_e=g_e)
+        # camera-sorted Jacobian copies (one permutation gather per damped
+        # solve; every PCG matvec inside then reads sequentially)
+        cam = {
+            bi: per_batch[bi][1][self.sorted_info[bi]["perm"]]
+            for bi in self.sorted_info
+        }
+        return dict(
+            per_batch=per_batch, cinv=cinv, g_f=g_f, d_f=d_f, g_e=g_e, cam=cam
+        )
 
     def _w_apply(self, asm, v_e):
         """W v_e (points -> cameras): (n_pt, e) -> (N_f,)."""
@@ -305,6 +352,16 @@ class SchurSolver:
         for bi, (r, jac, E) in enumerate(asm["per_batch"]):
             info = self.batch_info[bi]
             if E is None or not info["ret_slots"]:
+                continue
+            if bi in self.sorted_info:
+                sinfo = self.sorted_info[bi]
+                jac_cam = asm["cam"][bi]
+                ec, et = info["e_col"]
+                E_cam = jac_cam[:, :, ec : ec + et]
+                Ev = vpu_einsum("bme,be->bm", E_cam, v_e[sinfo["pidx_sorted"]])
+                s, gi, c, t = info["ret_slots"][0]
+                val = vpu_einsum("bmf,bm->bf", jac_cam[:, :, c : c + t], Ev)
+                accs[gi] = accs[gi] + apply_reduce_plan(sinfo["cam_plan"], val)
                 continue
             Ev = vpu_einsum("bme,be->bm", E, v_e[info["pidx"]])
             for s, gi, c, t in info["ret_slots"]:
@@ -337,6 +394,17 @@ class SchurSolver:
         for bi, (r, jac, E) in enumerate(asm["per_batch"]):
             info = self.batch_info[bi]
             if not info["ret_slots"]:
+                continue
+            if bi in self.sorted_info:
+                sinfo = self.sorted_info[bi]
+                jac_cam = asm["cam"][bi]
+                s, gi, c, t = info["ret_slots"][0]
+                Fs = jac_cam[:, :, c : c + t]
+                vs = self._ret_view(v_f, gi)[sinfo["cam_idx_sorted"]]
+                Fv = vpu_einsum("bmf,bf->bm", Fs, vs)
+                accs[gi] = accs[gi] + apply_reduce_plan(
+                    sinfo["cam_plan"], vpu_einsum("bmf,bm->bf", Fs, Fv)
+                )
                 continue
             _, idx_pad, _, _, _ = self.ev._batch_const[bi]
             Fv = jnp.zeros((jac.shape[0], jac.shape[1]), dtype=v_f.dtype)
@@ -381,6 +449,25 @@ class SchurSolver:
         }
         for bi, (r, jac, E) in enumerate(asm["per_batch"]):
             info = self.batch_info[bi]
+            if bi in self.sorted_info and info["ret_slots"]:
+                sinfo = self.sorted_info[bi]
+                jac_cam = asm["cam"][bi]
+                s, gi, c, t = info["ret_slots"][0]
+                Fs = jac_cam[:, :, c : c + t]
+                ftf = vpu_einsum("bmf,bmg->bfg", Fs, Fs)
+                if E is not None and include_e_correction:
+                    ec, et = info["e_col"]
+                    E_cam = jac_cam[:, :, ec : ec + et]
+                    A = vpu_einsum("bmf,bme->bfe", Fs, E_cam)
+                    Y = vpu_einsum(
+                        "bfe,beg->bfg", A, asm["cinv"][sinfo["pidx_sorted"]]
+                    )
+                    ftf = ftf - vpu_einsum("bfe,bge->bfg", Y, A)
+                red = apply_reduce_plan(
+                    sinfo["cam_plan"], ftf.reshape(-1, t * t)
+                )
+                outs[gi] = outs[gi] + red.reshape(-1, t, t)
+                continue
             for s, gi, c, t in info["ret_slots"]:
                 Fs = jac[:, :, c : c + t]
                 ftf = vpu_einsum("bmf,bmg->bfg", Fs, Fs)

@@ -6,6 +6,7 @@ all linear solvers must agree on the solution of the same problem within
 tolerance — no golden numbers, solvers certify each other.
 """
 
+import jax
 import numpy as np
 import pytest
 
@@ -150,3 +151,44 @@ def test_gradient_checker_on_snavely(small_bal):
     ev = Evaluator(program)
     ok, msg = check_program_gradients(program, ev)
     assert ok, msg
+
+
+def test_sorted_camera_layout_matches_unsorted():
+    """The camera-sorted matvec layout (sort_threshold forces it on) must
+    reproduce the default path bit-tolerantly: same damped solve, same
+    SCHUR_JACOBI blocks."""
+    from skeres_tpu.core.evaluator import Evaluator
+    from skeres_tpu.core.linear_solvers import lm_diagonal
+    from skeres_tpu.core.schur import SchurSolver
+    from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+    bal = synthetic_bal(num_cameras=6, num_points=80, observations_per_point=3)
+    problem, _, _ = build_bal_problem(bal)
+    program = problem.compile()
+    ev = Evaluator(program)
+    state = program.initial_state(ev.dtype)
+    _, blocks = jax.jit(ev.blocks)(state)
+    g, diag = jax.jit(ev.gradient_and_diag)(blocks)
+
+    plain = SchurSolver(ev, iterative=True, eta=1e-12)
+    srt = SchurSolver(ev, iterative=True, eta=1e-12, sort_threshold=1)
+    assert not plain.sorted_info and srt.sorted_info
+
+    data = plain.solver_data(blocks)
+    dx0, _ = jax.jit(
+        lambda: plain.solve_damped(data, g, diag, 1e-3, 1e-6, 1e32)
+    )()
+    dx1, _ = jax.jit(
+        lambda: srt.solve_damped(data, g, diag, 1e-3, 1e-6, 1e32)
+    )()
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx0), rtol=1e-8,
+                               atol=1e-12)
+
+    d = lm_diagonal(diag, 1e-3, 1e-6, 1e32)
+    asm0 = plain._assemble(data, g, d)
+    asm1 = srt._assemble(data, g, d)
+    b0 = plain._schur_jacobi_blocks(asm0)
+    b1 = srt._schur_jacobi_blocks(asm1)
+    for x, y in zip(b0, b1):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=1e-9,
+                                   atol=1e-12)

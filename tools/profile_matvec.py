@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--num_cameras", type=int, default=1778)
     ap.add_argument("--num_points", type=int, default=1_000_000)
     ap.add_argument("--obs", type=int, default=5)
+    ap.add_argument("--no_sort", action="store_true")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir",
@@ -58,30 +59,52 @@ def main():
     state = program.initial_state(ev.dtype)
     print(f"built in {time.time()-t0:.1f}s", flush=True)
 
-    schur = SchurSolver(ev, iterative=True)
-    cost, blocks = jax.jit(ev.blocks)(state)
-    g, diag = jax.jit(ev.gradient_and_diag)(blocks)
+    schur = SchurSolver(
+        ev, iterative=True,
+        sort_threshold=(10**12 if args.no_sort else 100_000),
+    )
+
+    # all evaluator/schur device constants must flow as jit ARGUMENTS:
+    # closure constants get embedded as HLO literals, which at venice scale
+    # overflows the axon remote-compile request (HTTP 413)
+    def with_consts(fn):
+        def wrapped(consts, *args):
+            with ev.bind(consts):
+                return fn(*args)
+
+        return jax.jit(wrapped)
+
+    consts = ev.device_consts
+    cost, blocks = with_consts(ev.blocks)(consts, state)
+    g, diag = with_consts(ev.gradient_and_diag)(consts, blocks)
     data = schur.solver_data(blocks)
     d = lm_diagonal(diag, 1e-4, 1e-6, 1e32)
-    asm = jax.jit(lambda dd: schur._assemble(data, g, dd))(d)
-    v = jax.jit(schur._schur_rhs)(asm)
+    asm = with_consts(lambda data, g, dd: schur._assemble(data, g, dd))(
+        consts, data, g, d
+    )
+    v = with_consts(schur._schur_rhs)(consts, asm)
     print("assembled", flush=True)
 
     rows = []
 
     def add(name, fn, *fargs, n=10):
-        jf = jax.jit(fn)
-        t = timeit(jf, *fargs, n=n)
+        jf = with_consts(fn)
+        t = timeit(jf, consts, *fargs, n=n)
         rows.append((name, t))
-        return jf(*fargs)
+        return jf(consts, *fargs)
 
-    add("assemble (ete+cinv)", lambda dd: schur._assemble(data, g, dd), d, n=3)
-    wt = add("wt_apply (cams->pts)", lambda vv: schur._wt_apply(asm, vv), v)
-    wc = add("cinv apply", lambda w: jnp.einsum("pef,pf->pe", asm["cinv"], w), wt)
-    add("w_apply (pts->cams)", lambda w: schur._w_apply(asm, w), wc)
-    add("ftf_apply", lambda vv: schur._ftf_apply(asm, vv), v)
-    add("full s_matvec", lambda vv: schur._s_matvec(asm, vv), v)
-    blocks_sj = add("schur_jacobi blocks", lambda: schur._schur_jacobi_blocks(asm), n=3)
+    add("assemble (ete+cinv)", schur._assemble, data, g, d, n=3)
+    wt = add("wt_apply (cams->pts)", schur._wt_apply, asm, v)
+    wc = add(
+        "cinv apply",
+        lambda asm_, w: jnp.einsum("pef,pf->pe", asm_["cinv"], w),
+        asm,
+        wt,
+    )
+    add("w_apply (pts->cams)", schur._w_apply, asm, wc)
+    add("ftf_apply", schur._ftf_apply, asm, v)
+    add("full s_matvec", schur._s_matvec, asm, v)
+    add("schur_jacobi blocks", schur._schur_jacobi_blocks, asm, n=3)
     add("linearize (blocks)", ev.blocks, state, n=3)
     add("gradient_and_diag", ev.gradient_and_diag, blocks, n=3)
 
