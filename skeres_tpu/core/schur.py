@@ -173,16 +173,20 @@ class SchurSolver:
         self.e_batches = e_batches
         self.e_batch = e_batches[0] if len(e_batches) == 1 else None
 
-        # Camera-sorted layout for huge observation batches (the reference
+        # Camera-padded layout for huge observation batches (the reference
         # keeps both row-major E blocks and camera-chunked F access —
         # schur_eliminator_impl.h's chunk structure; this is its TPU
         # counterpart): observations arrive point-sorted, so the POINT-side
-        # reductions read sequentially, but the CAMERA-side reductions of
-        # every matvec would gather 5M rows in random order at ~36B
-        # granularity. A per-solve camera-sorted copy of the batch Jacobian
-        # makes the camera-side gathers/reductions sequential too; the one
-        # random permutation gather per damped solve amortizes over all the
-        # PCG iterations inside it.
+        # reductions read sequentially, but the CAMERA-side work of every
+        # PCG matvec would gather 5M rows in random order at ~36B
+        # granularity, and even a sorted gather-plan reduction profiled at
+        # ~200ms. Instead, rows are placed into a dense (n_cams, K) padded
+        # layout (K = max observations per camera; gaps are zero rows that
+        # contribute nothing) ONCE per damped solve, after which every
+        # camera-side reduction is a pure ``reshape(n_cams, K, D).sum(1)``
+        # and the per-row camera-vector reads are broadcasts — zero gathers
+        # inside the matvec. Applied when padding waste is bounded; the
+        # generic plan path remains the fallback.
         self.sorted_info = {}
         if evaluator.mesh is None:  # sharded path has per-shard plans
             for bi in e_batches:
@@ -191,24 +195,30 @@ class SchurSolver:
                 if len(info["ret_slots"]) != 1:
                     continue
                 s, gi, c, t = info["ret_slots"][0]
-                idx_np = evaluator._batch_idx_np[bi][s]
-                if len(idx_np) < sort_threshold:
+                idx_np = evaluator._batch_idx_np[bi][s].astype(np.int64)
+                B = len(idx_np)
+                if B < sort_threshold:
+                    continue
+                nc = program.groups[gi].num_blocks
+                counts = np.bincount(idx_np, minlength=nc)
+                K = int(counts.max())
+                if nc * K > 1.5 * B:  # skewed: padding waste too high
                     continue
                 e_slot = b.slot_groups.index(self.elim_group)
-                perm = np.argsort(idx_np, kind="stable")
+                order = np.argsort(idx_np, kind="stable")
+                sorted_cam = idx_np[order]
+                starts = np.searchsorted(sorted_cam, np.arange(nc))
+                pos = np.arange(B) - starts[sorted_cam]
+                # src: padded slot -> source row (B = the extra zero row)
+                src = np.full(nc * K, B, dtype=np.int64)
+                src[sorted_cam * K + pos] = order
+                pidx_np = evaluator._batch_idx_np[bi][e_slot].astype(np.int64)
+                pidx_pad = np.concatenate([pidx_np, [0]])[src]
                 self.sorted_info[bi] = dict(
-                    perm=jnp.asarray(perm.astype(np.int32)),
-                    cam_plan=build_reduce_plan(
-                        idx_np[perm], program.groups[gi].num_blocks
-                    ),
-                    cam_idx_sorted=jnp.asarray(
-                        idx_np[perm].astype(np.int32)
-                    ),
-                    pidx_sorted=jnp.asarray(
-                        evaluator._batch_idx_np[bi][e_slot][perm].astype(
-                            np.int32
-                        )
-                    ),
+                    src=jnp.asarray(src.astype(np.int32)),
+                    pidx_pad=jnp.asarray(pidx_pad.astype(np.int32)),
+                    K=K,
+                    nc=nc,
                 )
 
         # Dense-W fast path for DENSE_SCHUR: viable when the E-batch couples
@@ -336,12 +346,15 @@ class SchurSolver:
         ete = ete + jax.vmap(jnp.diag)(d_e)
         # closed-form batched SPD inverse (3x3 cofactors for BAL)
         cinv = batched_spd_inverse(ete)
-        # camera-sorted Jacobian copies (one permutation gather per damped
-        # solve; every PCG matvec inside then reads sequentially)
-        cam = {
-            bi: per_batch[bi][1][self.sorted_info[bi]["perm"]]
-            for bi in self.sorted_info
-        }
+        # camera-padded Jacobian copies (one gather per damped solve; every
+        # PCG matvec inside is then gather-free on the big arrays)
+        cam = {}
+        for bi in self.sorted_info:
+            jac = per_batch[bi][1]
+            zero_row = jnp.zeros((1,) + jac.shape[1:], jac.dtype)
+            cam[bi] = jnp.concatenate([jac, zero_row])[
+                self.sorted_info[bi]["src"]
+            ]
         return dict(
             per_batch=per_batch, cinv=cinv, g_f=g_f, d_f=d_f, g_e=g_e, cam=cam
         )
@@ -358,10 +371,12 @@ class SchurSolver:
                 jac_cam = asm["cam"][bi]
                 ec, et = info["e_col"]
                 E_cam = jac_cam[:, :, ec : ec + et]
-                Ev = vpu_einsum("bme,be->bm", E_cam, v_e[sinfo["pidx_sorted"]])
+                Ev = vpu_einsum("bme,be->bm", E_cam, v_e[sinfo["pidx_pad"]])
                 s, gi, c, t = info["ret_slots"][0]
                 val = vpu_einsum("bmf,bm->bf", jac_cam[:, :, c : c + t], Ev)
-                accs[gi] = accs[gi] + apply_reduce_plan(sinfo["cam_plan"], val)
+                accs[gi] = accs[gi] + val.reshape(
+                    sinfo["nc"], sinfo["K"], t
+                ).sum(axis=1)
                 continue
             Ev = vpu_einsum("bme,be->bm", E, v_e[info["pidx"]])
             for s, gi, c, t in info["ret_slots"]:
@@ -399,12 +414,15 @@ class SchurSolver:
                 sinfo = self.sorted_info[bi]
                 jac_cam = asm["cam"][bi]
                 s, gi, c, t = info["ret_slots"][0]
+                nc, K = sinfo["nc"], sinfo["K"]
                 Fs = jac_cam[:, :, c : c + t]
-                vs = self._ret_view(v_f, gi)[sinfo["cam_idx_sorted"]]
+                # per-row camera vector as a broadcast, not a gather
+                vs = jnp.broadcast_to(
+                    self._ret_view(v_f, gi)[:, None, :], (nc, K, t)
+                ).reshape(nc * K, t)
                 Fv = vpu_einsum("bmf,bf->bm", Fs, vs)
-                accs[gi] = accs[gi] + apply_reduce_plan(
-                    sinfo["cam_plan"], vpu_einsum("bmf,bm->bf", Fs, Fv)
-                )
+                red = vpu_einsum("bmf,bm->bf", Fs, Fv)
+                accs[gi] = accs[gi] + red.reshape(nc, K, t).sum(axis=1)
                 continue
             _, idx_pad, _, _, _ = self.ev._batch_const[bi]
             Fv = jnp.zeros((jac.shape[0], jac.shape[1]), dtype=v_f.dtype)
@@ -453,6 +471,7 @@ class SchurSolver:
                 sinfo = self.sorted_info[bi]
                 jac_cam = asm["cam"][bi]
                 s, gi, c, t = info["ret_slots"][0]
+                nc, K = sinfo["nc"], sinfo["K"]
                 Fs = jac_cam[:, :, c : c + t]
                 ftf = vpu_einsum("bmf,bmg->bfg", Fs, Fs)
                 if E is not None and include_e_correction:
@@ -460,13 +479,10 @@ class SchurSolver:
                     E_cam = jac_cam[:, :, ec : ec + et]
                     A = vpu_einsum("bmf,bme->bfe", Fs, E_cam)
                     Y = vpu_einsum(
-                        "bfe,beg->bfg", A, asm["cinv"][sinfo["pidx_sorted"]]
+                        "bfe,beg->bfg", A, asm["cinv"][sinfo["pidx_pad"]]
                     )
                     ftf = ftf - vpu_einsum("bfe,bge->bfg", Y, A)
-                red = apply_reduce_plan(
-                    sinfo["cam_plan"], ftf.reshape(-1, t * t)
-                )
-                outs[gi] = outs[gi] + red.reshape(-1, t, t)
+                outs[gi] = outs[gi] + ftf.reshape(nc, K, t, t).sum(axis=1)
                 continue
             for s, gi, c, t in info["ret_slots"]:
                 Fs = jac[:, :, c : c + t]
