@@ -115,6 +115,10 @@ class SolverOptions:
     mesh: Any = None
     # chunk size for streamed (scan-accumulated) evaluation; None = no chunking
     evaluation_chunk_size: Optional[int] = None
+    # observation-batch row count above which the Schur solver keeps a
+    # camera-sorted/padded Jacobian copy (gather-free PCG matvecs); see
+    # SchurSolver(sort_threshold=...)
+    jacobian_sort_threshold: int = 100_000
     # write a Perfetto/XProf trace of the minimizer to this directory
     # (SURVEY.md §6 tracing; view with xprof / perfetto)
     trace_dir: Optional[str] = None

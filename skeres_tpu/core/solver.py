@@ -134,6 +134,7 @@ def solve(
                 else 0
             ),
             max_power_series_terms=options.max_num_spse_iterations,
+            sort_threshold=options.jacobian_sort_threshold,
         )
 
     inner_refiner = None
