@@ -52,6 +52,21 @@ from skeres_tpu.ops.small_inverse import batched_spd_inverse
 __all__ = ["SchurSolver"]
 
 
+def _cam_padded_src(idx_np: np.ndarray, nc: int, K: int) -> np.ndarray:
+    """Row-placement map for the camera-padded layout: returns ``src`` of
+    shape (nc*K,) with ``src[cam*K + j]`` = the row index of camera ``cam``'s
+    j-th observation, and ``len(idx_np)`` (a zero sentinel row) in unused
+    slots."""
+    b = len(idx_np)
+    order = np.argsort(idx_np, kind="stable")
+    sorted_cam = idx_np[order]
+    starts = np.searchsorted(sorted_cam, np.arange(nc))
+    pos = np.arange(b) - starts[sorted_cam]
+    src = np.full(nc * K, b, dtype=np.int64)
+    src[sorted_cam * K + pos] = order
+    return src
+
+
 class SchurSolver:
     """Damped-normal-equation solver eliminating the group-0 parameters."""
 
@@ -66,6 +81,7 @@ class SchurSolver:
         refinement_iterations: int = 0,
         max_power_series_terms: int = 5,
         sort_threshold: int = 100_000,
+        pad_waste: float = 1.5,
     ):
         self.ev = evaluator
         self.iterative = iterative
@@ -188,37 +204,71 @@ class SchurSolver:
         # inside the matvec. Applied when padding waste is bounded; the
         # generic plan path remains the fallback.
         self.sorted_info = {}
-        if evaluator.mesh is None:  # sharded path has per-shard plans
-            for bi in e_batches:
-                info = self.batch_info[bi]
-                b = program.batches[bi]
-                if len(info["ret_slots"]) != 1:
-                    continue
-                s, gi, c, t = info["ret_slots"][0]
-                idx_np = evaluator._batch_idx_np[bi][s].astype(np.int64)
-                B = len(idx_np)
-                if B < sort_threshold:
-                    continue
-                nc = program.groups[gi].num_blocks
+        for bi in e_batches:
+            info = self.batch_info[bi]
+            b = program.batches[bi]
+            if len(info["ret_slots"]) != 1:
+                continue
+            s, gi, c, t = info["ret_slots"][0]
+            idx_np = evaluator._batch_idx_np[bi][s].astype(np.int64)
+            B = len(idx_np)
+            if B < sort_threshold:
+                continue
+            nc = program.groups[gi].num_blocks
+            e_slot = b.slot_groups.index(self.elim_group)
+            pidx_np = evaluator._batch_idx_np[bi][e_slot].astype(np.int64)
+            if evaluator.mesh is None:
                 counts = np.bincount(idx_np, minlength=nc)
                 K = int(counts.max())
-                if nc * K > 1.5 * B:  # skewed: padding waste too high
+                if nc * K > pad_waste * B:  # skewed: padding waste too high
                     continue
-                e_slot = b.slot_groups.index(self.elim_group)
-                order = np.argsort(idx_np, kind="stable")
-                sorted_cam = idx_np[order]
-                starts = np.searchsorted(sorted_cam, np.arange(nc))
-                pos = np.arange(B) - starts[sorted_cam]
-                # src: padded slot -> source row (B = the extra zero row)
-                src = np.full(nc * K, B, dtype=np.int64)
-                src[sorted_cam * K + pos] = order
-                pidx_np = evaluator._batch_idx_np[bi][e_slot].astype(np.int64)
+                src = _cam_padded_src(idx_np, nc, K)
                 pidx_pad = np.concatenate([pidx_np, [0]])[src]
                 self.sorted_info[bi] = dict(
+                    kind="local",
                     src=jnp.asarray(src.astype(np.int32)),
                     pidx_pad=jnp.asarray(pidx_pad.astype(np.int32)),
                     K=K,
                     nc=nc,
+                )
+            else:
+                # per-shard padded layout: rows are split contiguously over
+                # the mesh (same convention as build_sharded_reduce_plan);
+                # each shard builds a (nc, K) grid of ITS rows, camera
+                # reductions become per-shard reshape+sum combined by one
+                # psum — the sharded path keeps the gather-free matvec.
+                ns = evaluator._n_shards
+                bs = B // ns
+                parts = idx_np.reshape(ns, bs)
+                K = int(
+                    max(
+                        np.bincount(p, minlength=nc).max() for p in parts
+                    )
+                )
+                if ns * nc * K > pad_waste * B:  # padding waste too high
+                    continue
+                src = np.stack(
+                    [_cam_padded_src(p, nc, K) for p in parts]
+                )  # (ns, nc*K), sentinel = bs
+                pparts = pidx_np.reshape(ns, bs)
+                pidx_pad = np.stack(
+                    [
+                        np.concatenate([pp, [0]])[sr]
+                        for pp, sr in zip(pparts, src)
+                    ]
+                )
+                sh = evaluator._obs_sharding
+                self.sorted_info[bi] = dict(
+                    kind="sharded",
+                    src=jax.device_put(
+                        jnp.asarray(src.astype(np.int32)), sh(2)
+                    ),
+                    pidx_pad=jax.device_put(
+                        jnp.asarray(pidx_pad.astype(np.int32)), sh(2)
+                    ),
+                    K=K,
+                    nc=nc,
+                    bs=bs,
                 )
 
         # Dense-W fast path for DENSE_SCHUR: viable when the E-batch couples
@@ -350,14 +400,63 @@ class SchurSolver:
         # PCG matvec inside is then gather-free on the big arrays)
         cam = {}
         for bi in self.sorted_info:
-            jac = per_batch[bi][1]
-            zero_row = jnp.zeros((1,) + jac.shape[1:], jac.dtype)
-            cam[bi] = jnp.concatenate([jac, zero_row])[
-                self.sorted_info[bi]["src"]
-            ]
+            cam[bi] = self._sorted_cam_jac(bi, per_batch[bi][1])
         return dict(
             per_batch=per_batch, cinv=cinv, g_f=g_f, d_f=d_f, g_e=g_e, cam=cam
         )
+
+    def _sorted_cam_jac(self, bi, jac):
+        """Camera-padded copy of a batch Jacobian: (nc*K, m, T) locally, or
+        (ns, nc*K, m, T) row-sharded under a mesh — built inside shard_map
+        so the placement gather stays shard-local (no allgather)."""
+        sinfo = self.sorted_info[bi]
+        if sinfo["kind"] == "local":
+            zero_row = jnp.zeros((1,) + jac.shape[1:], jac.dtype)
+            return jnp.concatenate([jac, zero_row])[sinfo["src"]]
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.ev.mesh
+        axis = mesh.axis_names[0]
+
+        def body(jac_l, src_l):
+            z = jnp.zeros((1,) + jac_l.shape[1:], jac_l.dtype)
+            return jnp.concatenate([jac_l, z])[src_l[0]][None]
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=P(axis),
+        )(jac, sinfo["src"])
+
+    def _cam_reduce(self, bi, cam, rep, row_fn, out_tail):
+        """Camera-side reduction over a padded batch: ``row_fn(jac_cam,
+        pidx_pad, *rep) -> (nc*K,) + out_tail`` per-padded-row values,
+        summed over each camera's K slots -> ``(nc,) + out_tail``. ``rep``
+        are replicated operands (retained/point vectors). Under a mesh the
+        per-shard partial sums are combined by one psum."""
+        sinfo = self.sorted_info[bi]
+        nc, K = sinfo["nc"], sinfo["K"]
+        if sinfo["kind"] == "local":
+            val = row_fn(cam, sinfo["pidx_pad"], *rep)
+            return val.reshape((nc, K) + out_tail).sum(axis=1)
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.ev.mesh
+        axis = mesh.axis_names[0]
+
+        def body(cam_l, pidx_l, *rep_l):
+            val = row_fn(cam_l[0], pidx_l[0], *rep_l)
+            return jax.lax.psum(
+                val.reshape((nc, K) + out_tail).sum(axis=1), axis
+            )
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)) + (P(),) * len(rep),
+            out_specs=P(),
+        )(cam, sinfo["pidx_pad"], *rep)
 
     def _w_apply(self, asm, v_e):
         """W v_e (points -> cameras): (n_pt, e) -> (N_f,)."""
@@ -367,16 +466,19 @@ class SchurSolver:
             if E is None or not info["ret_slots"]:
                 continue
             if bi in self.sorted_info:
-                sinfo = self.sorted_info[bi]
-                jac_cam = asm["cam"][bi]
                 ec, et = info["e_col"]
-                E_cam = jac_cam[:, :, ec : ec + et]
-                Ev = vpu_einsum("bme,be->bm", E_cam, v_e[sinfo["pidx_pad"]])
                 s, gi, c, t = info["ret_slots"][0]
-                val = vpu_einsum("bmf,bm->bf", jac_cam[:, :, c : c + t], Ev)
-                accs[gi] = accs[gi] + val.reshape(
-                    sinfo["nc"], sinfo["K"], t
-                ).sum(axis=1)
+
+                def row_fn(jac_cam, pidx_pad, ve, ec=ec, et=et, c=c, t=t):
+                    E_cam = jac_cam[:, :, ec : ec + et]
+                    Ev = vpu_einsum("bme,be->bm", E_cam, ve[pidx_pad])
+                    return vpu_einsum(
+                        "bmf,bm->bf", jac_cam[:, :, c : c + t], Ev
+                    )
+
+                accs[gi] = accs[gi] + self._cam_reduce(
+                    bi, asm["cam"][bi], (v_e,), row_fn, (t,)
+                )
                 continue
             Ev = vpu_einsum("bme,be->bm", E, v_e[info["pidx"]])
             for s, gi, c, t in info["ret_slots"]:
@@ -412,17 +514,21 @@ class SchurSolver:
                 continue
             if bi in self.sorted_info:
                 sinfo = self.sorted_info[bi]
-                jac_cam = asm["cam"][bi]
                 s, gi, c, t = info["ret_slots"][0]
                 nc, K = sinfo["nc"], sinfo["K"]
-                Fs = jac_cam[:, :, c : c + t]
-                # per-row camera vector as a broadcast, not a gather
-                vs = jnp.broadcast_to(
-                    self._ret_view(v_f, gi)[:, None, :], (nc, K, t)
-                ).reshape(nc * K, t)
-                Fv = vpu_einsum("bmf,bf->bm", Fs, vs)
-                red = vpu_einsum("bmf,bm->bf", Fs, Fv)
-                accs[gi] = accs[gi] + red.reshape(nc, K, t).sum(axis=1)
+
+                def row_fn(jac_cam, pidx_pad, vf, gi=gi, c=c, t=t, nc=nc, K=K):
+                    Fs = jac_cam[:, :, c : c + t]
+                    # per-row camera vector as a broadcast, not a gather
+                    vs = jnp.broadcast_to(
+                        self._ret_view(vf, gi)[:, None, :], (nc, K, t)
+                    ).reshape(nc * K, t)
+                    Fv = vpu_einsum("bmf,bf->bm", Fs, vs)
+                    return vpu_einsum("bmf,bm->bf", Fs, Fv)
+
+                accs[gi] = accs[gi] + self._cam_reduce(
+                    bi, asm["cam"][bi], (v_f,), row_fn, (t,)
+                )
                 continue
             _, idx_pad, _, _, _ = self.ev._batch_const[bi]
             Fv = jnp.zeros((jac.shape[0], jac.shape[1]), dtype=v_f.dtype)
@@ -468,21 +574,26 @@ class SchurSolver:
         for bi, (r, jac, E) in enumerate(asm["per_batch"]):
             info = self.batch_info[bi]
             if bi in self.sorted_info and info["ret_slots"]:
-                sinfo = self.sorted_info[bi]
-                jac_cam = asm["cam"][bi]
                 s, gi, c, t = info["ret_slots"][0]
-                nc, K = sinfo["nc"], sinfo["K"]
-                Fs = jac_cam[:, :, c : c + t]
-                ftf = vpu_einsum("bmf,bmg->bfg", Fs, Fs)
-                if E is not None and include_e_correction:
-                    ec, et = info["e_col"]
-                    E_cam = jac_cam[:, :, ec : ec + et]
-                    A = vpu_einsum("bmf,bme->bfe", Fs, E_cam)
-                    Y = vpu_einsum(
-                        "bfe,beg->bfg", A, asm["cinv"][sinfo["pidx_pad"]]
-                    )
-                    ftf = ftf - vpu_einsum("bfe,bge->bfg", Y, A)
-                outs[gi] = outs[gi] + ftf.reshape(nc, K, t, t).sum(axis=1)
+                corr = E is not None and include_e_correction
+                ec, et = info["e_col"] if corr else (0, 0)
+
+                def row_fn(
+                    jac_cam, pidx_pad, cinv,
+                    c=c, t=t, corr=corr, ec=ec, et=et,
+                ):
+                    Fs = jac_cam[:, :, c : c + t]
+                    ftf = vpu_einsum("bmf,bmg->bfg", Fs, Fs)
+                    if corr:
+                        E_cam = jac_cam[:, :, ec : ec + et]
+                        A = vpu_einsum("bmf,bme->bfe", Fs, E_cam)
+                        Y = vpu_einsum("bfe,beg->bfg", A, cinv[pidx_pad])
+                        ftf = ftf - vpu_einsum("bfe,bge->bfg", Y, A)
+                    return ftf
+
+                outs[gi] = outs[gi] + self._cam_reduce(
+                    bi, asm["cam"][bi], (asm["cinv"],), row_fn, (t, t)
+                )
                 continue
             for s, gi, c, t in info["ret_slots"]:
                 Fs = jac[:, :, c : c + t]
@@ -576,22 +687,28 @@ class SchurSolver:
                 continue
             if bi in self.sorted_info:
                 sinfo = self.sorted_info[bi]
-                jac_cam = asm["cam"][bi]
                 s, gi, c, t = info["ret_slots"][0]
                 nc, K = sinfo["nc"], sinfo["K"]
-                Fs = jac_cam[:, :, c : c + t]
-                vs = jnp.broadcast_to(
-                    self._ret_view(v, gi)[:, None, :], (nc, K, t)
-                ).reshape(nc * K, t)
-                m = vpu_einsum("bmf,bf->bm", Fs, vs)
-                if E is not None:
-                    ec, et = info["e_col"]
-                    E_cam = jac_cam[:, :, ec : ec + et]
-                    m = m - vpu_einsum(
-                        "bme,be->bm", E_cam, wc[sinfo["pidx_pad"]]
-                    )
-                red = vpu_einsum("bmf,bm->bf", Fs, m)
-                accs[gi] = accs[gi] + red.reshape(nc, K, t).sum(axis=1)
+                has_e = E is not None
+                ec, et = info["e_col"] if has_e else (0, 0)
+
+                def row_fn(
+                    jac_cam, pidx_pad, vf, wcp,
+                    gi=gi, c=c, t=t, nc=nc, K=K, has_e=has_e, ec=ec, et=et,
+                ):
+                    Fs = jac_cam[:, :, c : c + t]
+                    vs = jnp.broadcast_to(
+                        self._ret_view(vf, gi)[:, None, :], (nc, K, t)
+                    ).reshape(nc * K, t)
+                    m = vpu_einsum("bmf,bf->bm", Fs, vs)
+                    if has_e:
+                        E_cam = jac_cam[:, :, ec : ec + et]
+                        m = m - vpu_einsum("bme,be->bm", E_cam, wcp[pidx_pad])
+                    return vpu_einsum("bmf,bm->bf", Fs, m)
+
+                accs[gi] = accs[gi] + self._cam_reduce(
+                    bi, asm["cam"][bi], (v, wc), row_fn, (t,)
+                )
                 continue
             # generic path: F^T F v and (if eliminated) F^T E wc
             _, idx_pad, _, _, _ = self.ev._batch_const[bi]

@@ -83,6 +83,70 @@ def test_sharded_solve_matches_single_device(mesh, bal):
 
 
 @requires_multidevice
+def test_sharded_padded_matvec_matches_generic(mesh, bal):
+    """The sharded camera-padded (gather-free) Schur path must agree with
+    the sharded generic-plan path; exact same arithmetic per shard modulo
+    reduction order, so tolerances are tight."""
+    from skeres_tpu.core.linear_solvers import lm_diagonal
+    from skeres_tpu.core.schur import SchurSolver
+
+    problem, _, _ = build_bal_problem(bal)
+    program = problem.compile()
+    ev = Evaluator(program, mesh=mesh)
+    state = ev.prepare_state(program.initial_state(ev.dtype))
+    cost, blocks = jax.jit(ev.blocks)(state)
+    g, diag = jax.jit(ev.gradient_and_diag)(blocks)
+    d = lm_diagonal(diag, 1e-4, 1e-6, 1e32)
+
+    outs = {}
+    for label, thresh in (("generic", 10**12), ("padded", 1)):
+        schur = SchurSolver(
+            ev, iterative=True, sort_threshold=thresh, pad_waste=100.0
+        )
+        if label == "padded":
+            assert schur.sorted_info, "padded path not engaged"
+            assert all(
+                si["kind"] == "sharded" for si in schur.sorted_info.values()
+            )
+        data = schur.solver_data(blocks)
+        asm = jax.jit(lambda dd: schur._assemble(data, g, dd))(d)
+        rhs = schur._schur_rhs(asm)
+        v = jnp.asarray(
+            np.random.default_rng(3).normal(size=rhs.shape), rhs.dtype
+        )
+        outs[label] = (
+            np.asarray(rhs),
+            np.asarray(schur._s_matvec(asm, v)),
+            [np.asarray(b) for b in schur._schur_jacobi_blocks(asm)],
+        )
+
+    np.testing.assert_allclose(outs["padded"][0], outs["generic"][0], rtol=1e-9)
+    np.testing.assert_allclose(outs["padded"][1], outs["generic"][1], rtol=1e-9)
+    for bp, bg in zip(outs["padded"][2], outs["generic"][2]):
+        np.testing.assert_allclose(bp, bg, rtol=1e-9)
+
+
+@requires_multidevice
+def test_sharded_padded_solve_matches_single_device(mesh, bal):
+    """Full solve through the public API with the sharded padded layout."""
+    def run(mesh_arg, thresh):
+        problem, _, _ = build_bal_problem(bal)
+        options = SolverOptions(
+            linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
+            max_num_iterations=40,
+            mesh=mesh_arg,
+            jacobian_sort_threshold=thresh,
+        )
+        return st.solve(options, problem)
+
+    s1 = run(None, 10**12)
+    s8 = run(mesh, 1)
+    assert s1.termination_type == TerminationType.CONVERGENCE
+    assert s8.termination_type == TerminationType.CONVERGENCE
+    np.testing.assert_allclose(s8.final_cost, s1.final_cost, rtol=1e-5)
+
+
+@requires_multidevice
 def test_graft_dryrun_multichip():
     """The driver's multi-chip entry must run on the fake mesh."""
     import importlib.util, os
