@@ -16,6 +16,28 @@ def test_sampled_function_finds_interior_minimum():
     assert abs(x - 4.5) < 1e-3
 
 
+def test_robot_pose_mle_beats_dead_reckoning():
+    import sys as _sys
+
+    _sys.argv = ["robot_pose_mle"]
+    from examples.robot_pose_mle import main
+
+    rmse_dead, rmse_mle = main()
+    # range readings are 10x tighter than odometry: the MLE must beat
+    # dead reckoning by a wide margin (reference: robot_pose_mle.cc)
+    assert rmse_mle < 0.3 * rmse_dead
+
+
+def test_denoising_reduces_noise_preserves_edges():
+    import sys as _sys
+
+    _sys.argv = ["denoising", "--side", "32"]
+    from examples.denoising import main
+
+    err_noisy, err_restored = main()
+    assert err_restored < 0.7 * err_noisy
+
+
 def test_ellipse_approximation_converges():
     from examples.ellipse_approximation import main
     from skeres_tpu.core.types import TerminationType
