@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--max_cg_iterations", type=int, default=100)
     ap.add_argument("--device_loop", action="store_true")
     ap.add_argument("--linear_solver", default="ITERATIVE_SCHUR")
+    ap.add_argument("--preconditioner", default="SCHUR_JACOBI")
     args = ap.parse_args()
 
     import jax
@@ -60,8 +61,11 @@ def main():
 
     t0 = time.time()
     problem, _, _ = build_bal_problem(bal)
+    from skeres_tpu.core.types import PreconditionerType
+
     options = SolverOptions(
         linear_solver_type=LinearSolverType[args.linear_solver],
+        preconditioner_type=PreconditionerType[args.preconditioner],
         max_num_iterations=args.iters,
         evaluation_chunk_size=args.chunk,
         max_linear_solver_iterations=args.max_cg_iterations,
