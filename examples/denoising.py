@@ -16,7 +16,6 @@ block; cliques couple neighbors) solved with CGNR at 10k+ blocks.
 
 import argparse
 
-import jax.numpy as jnp
 import numpy as np
 
 import skeres_tpu as st

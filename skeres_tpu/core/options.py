@@ -119,6 +119,11 @@ class SolverOptions:
     # camera-sorted/padded Jacobian copy (gather-free PCG matvecs); see
     # SchurSolver(sort_threshold=...)
     jacobian_sort_threshold: int = 100_000
+    # padding-waste bound for that camera-padded layout: the layout is used
+    # only when n_cams * max_obs_per_cam <= jacobian_pad_waste * n_rows
+    # (skewed camera-degree distributions fall back to the gather-plan
+    # path); see SchurSolver(pad_waste=...)
+    jacobian_pad_waste: float = 1.5
     # write a Perfetto/XProf trace of the minimizer to this directory
     # (SURVEY.md §6 tracing; view with xprof / perfetto)
     trace_dir: Optional[str] = None

@@ -135,6 +135,7 @@ def solve(
             ),
             max_power_series_terms=options.max_num_spse_iterations,
             sort_threshold=options.jacobian_sort_threshold,
+            pad_waste=options.jacobian_pad_waste,
         )
 
     inner_refiner = None

@@ -16,10 +16,8 @@ def test_sampled_function_finds_interior_minimum():
     assert abs(x - 4.5) < 1e-3
 
 
-def test_robot_pose_mle_beats_dead_reckoning():
-    import sys as _sys
-
-    _sys.argv = ["robot_pose_mle"]
+def test_robot_pose_mle_beats_dead_reckoning(monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["robot_pose_mle"])
     from examples.robot_pose_mle import main
 
     rmse_dead, rmse_mle = main()
@@ -28,10 +26,8 @@ def test_robot_pose_mle_beats_dead_reckoning():
     assert rmse_mle < 0.3 * rmse_dead
 
 
-def test_denoising_reduces_noise_preserves_edges():
-    import sys as _sys
-
-    _sys.argv = ["denoising", "--side", "32"]
+def test_denoising_reduces_noise_preserves_edges(monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["denoising", "--side", "32"])
     from examples.denoising import main
 
     err_noisy, err_restored = main()

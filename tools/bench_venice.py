@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--max_cg_iterations", type=int, default=100)
     ap.add_argument("--device_loop", action="store_true")
     ap.add_argument("--linear_solver", default="ITERATIVE_SCHUR")
+    # NOTE (config provenance): all recorded venice numbers from round 2 on
+    # (BENCH_EXTRA.md) use SCHUR_JACOBI, matching this default. BENCH_r01-era
+    # runs predate the flag and inherited SolverOptions' JACOBI default —
+    # not comparable without passing --preconditioner JACOBI.
     ap.add_argument("--preconditioner", default="SCHUR_JACOBI")
     args = ap.parse_args()
 
