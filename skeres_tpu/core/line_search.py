@@ -93,9 +93,13 @@ def wolfe_line_search(
     curvature: float,
     max_iterations: int,
     min_step: float,
+    step_expansion: float = 10.0,
 ):
     """Strong-Wolfe search: bracketing phase + zoom phase
     (reference: ``line_search.cc`` WolfeLineSearch; Nocedal & Wright alg 3.5/3.6).
+
+    ``step_expansion`` bounds the bracketing-phase step growth (reference:
+    ``max_line_search_step_expansion``, default 10).
 
     phi_dphi(s) -> (phi(s), phi'(s)). Returns (step, f, num_evals) or
     (None, f0, evals).
@@ -137,7 +141,7 @@ def wolfe_line_search(
             out = zoom(s, f, g, s_prev, f_prev)
             return out[0], out[1], evals
         s_prev, f_prev, g_prev = s, f, g
-        s = min(2.0 * s, max_step)
+        s = min(step_expansion * s, max_step)
     return None, f0, evals
 
 
@@ -377,6 +381,7 @@ class LineSearchMinimizer:
                     o.line_search_sufficient_curvature_decrease,
                     o.max_num_line_search_step_size_iterations,
                     o.min_line_search_step_size,
+                    o.max_line_search_step_expansion,
                 )
             else:
                 step, new_cost, evals = armijo_line_search(

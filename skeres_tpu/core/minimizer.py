@@ -144,6 +144,58 @@ class TrustRegionMinimizer:
             cost,
         )
 
+    def _maybe_dump(self, iteration, state, data, g, diag, radius, dx):
+        """Trust-region linear-system debug dumps (reference:
+        TrustRegionMinimizer::MaybeDumpLinearLeastSquaresProblem,
+        ``solver.h`` trust_region_problem_dump_*). TEXTFILE writes one
+        ``lm_iteration_NNN.npz`` with the state, gradient, LM diagonal,
+        radius, step, and every batch's residual/Jacobian block arrays —
+        the TPU-native linear system (there is no global sparse J here to
+        print as text). CONSOLE logs shapes and norms only."""
+        o = self.options
+        if iteration not in o.trust_region_minimizer_iterations_to_dump:
+            return
+        from skeres_tpu.core.types import DumpFormatType
+
+        g_np = np.asarray(g)
+        # data's structure depends on the solver: dense J (DENSE_QR), a
+        # (JtJ,) tuple (DENSE_NORMAL_CHOLESKY), or per-batch block tuples
+        # (CGNR / the Schur solvers) — flatten generically
+        leaves = jax.tree_util.tree_leaves(data)
+        if o.trust_region_problem_dump_format_type == DumpFormatType.CONSOLE:
+            lines = [
+                f"LM iteration {iteration}: radius={float(radius):.6e} "
+                f"|g|={np.linalg.norm(g_np):.6e} "
+                f"|step|={np.linalg.norm(np.asarray(dx)):.6e}"
+            ]
+            for k, leaf in enumerate(leaves):
+                lines.append(
+                    f"  solver_data[{k}]: shape {tuple(leaf.shape)} "
+                    f"dtype {leaf.dtype}"
+                )
+            print("\n".join(lines), flush=True)
+            return
+        if not o.trust_region_problem_dump_directory:
+            return
+        import os
+
+        os.makedirs(o.trust_region_problem_dump_directory, exist_ok=True)
+        arrays = {
+            "gradient": g_np,
+            "lm_diagonal": np.asarray(diag),
+            "trust_region_radius": np.asarray(radius),
+            "step": np.asarray(dx),
+        }
+        for gi, xs in enumerate(jax.tree_util.tree_leaves(state)):
+            arrays[f"state_{gi}"] = np.asarray(xs)
+        for k, leaf in enumerate(leaves):
+            arrays[f"solver_data_{k}"] = np.asarray(leaf)
+        path = os.path.join(
+            o.trust_region_problem_dump_directory,
+            f"lm_iteration_{iteration:03d}.npz",
+        )
+        np.savez_compressed(path, **arrays)
+
     # -- device program construction ------------------------------------------
 
     def _solver_data(self, blocks):
@@ -610,6 +662,7 @@ class TrustRegionMinimizer:
             step_solver_time = time.time() - t0
             s.linear_solver_time_in_seconds += step_solver_time
             s.num_linear_solves += 1
+            self._maybe_dump(iteration, state, data, g, diag, radius, dx)
 
             t0 = time.time()
             self._prepare_for_evaluation(False, True)

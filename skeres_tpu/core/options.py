@@ -10,6 +10,7 @@ from typing import Any, Callable, Optional, Sequence
 
 from skeres_tpu.core.types import (
     DoglegType,
+    DumpFormatType,
     LinearSolverType,
     LineSearchDirectionType,
     LineSearchType,
@@ -34,6 +35,10 @@ class SolverOptions:
     preconditioner_type: PreconditionerType = PreconditionerType.JACOBI
     # series length for POWER_SERIES_EXPANSION (reference default: 5)
     max_num_spse_iterations: int = 5
+    # early-terminate the power series when the latest term's norm drops
+    # below spse_tolerance * norm(accumulated preconditioned vector)
+    # (reference default: 0.1); 0 runs all max_num_spse_iterations terms
+    spse_tolerance: float = 0.1
 
     # -- iteration/time limits ----------------------------------------------
     max_num_iterations: int = 50
@@ -73,6 +78,9 @@ class SolverOptions:
     max_num_line_search_step_size_iterations: int = 20
     max_num_line_search_direction_restarts: int = 5
     min_line_search_step_size: float = 1e-9
+    # bracketing-phase step growth bound in the Wolfe search
+    # (reference default: 10)
+    max_line_search_step_expansion: float = 10.0
 
     # -- gradient checking -----------------------------------------------------
     check_gradients: bool = False
@@ -96,6 +104,17 @@ class SolverOptions:
     # object with prepare_for_evaluation(evaluate_jacobians, new_point),
     # fired on the host before each device dispatch that re-evaluates
     evaluation_callback: Optional[Any] = None
+
+    # -- debug dumps (reference: trust_region_problem_dump_*) -----------------
+    # dump the trust-region linear system at these iterations: TEXTFILE
+    # writes lm_iteration_NNN.npz (state, gradient, diag, radius, step, and
+    # every batch's residual/Jacobian blocks — the TPU-native form of the
+    # reference's per-matrix text files); CONSOLE logs norms/shapes only
+    trust_region_problem_dump_directory: str = ""
+    trust_region_minimizer_iterations_to_dump: Sequence[int] = ()
+    trust_region_problem_dump_format_type: DumpFormatType = (
+        DumpFormatType.TEXTFILE
+    )
 
     # -- checkpoint/resume (built-in form of the reference's
     # update_state_every_iteration callback idiom, SURVEY.md §6) --------------
@@ -154,19 +173,15 @@ class SolverOptions:
     #   use_explicit_schur_complement     subsumed: DENSE_SCHUR is explicit,
     #                                     ITERATIVE_SCHUR implicit; the
     #                                     dense-W fast path auto-selects.
-    #   trust_region_problem_dump_directory / _iterations_to_dump /
-    #   _format_type                      TODO (debug dumps) — `trace_dir`
-    #                                     (XProf/Perfetto) covers profiling.
     #   line_search_interpolation_type,
-    #   max/min_line_search_step_contraction,
-    #   max_line_search_step_expansion    TODO — the Wolfe/Armijo searches
-    #                                     use cubic-free bisection-style
-    #                                     zoom; contraction bounds are fixed
-    #                                     at the reference defaults.
-    #   spse_tolerance                    TODO — POWER_SERIES_EXPANSION runs
-    #                                     a fixed max_num_spse_iterations
-    #                                     (while_loop-friendly); tolerance
-    #                                     early-exit not yet plumbed.
+    #   max/min_line_search_step_contraction
+    #                                     N/A — the Wolfe/Armijo searches use
+    #                                     a quadratic-interpolating
+    #                                     bisection-safeguarded zoom
+    #                                     (line_search.py _interpolate_step)
+    #                                     with the contraction window fixed
+    #                                     at the reference defaults
+    #                                     ([0.1, 0.9] safeguard).
     #   eta (per-solve forcing sequence)  present (`eta`).
     #   update_state_every_iteration      present.
     #   disable_all_safety_checks         N/A — checks are trace-time here

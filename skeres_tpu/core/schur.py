@@ -80,6 +80,7 @@ class SchurSolver:
         pair_chunk: Optional[int] = None,
         refinement_iterations: int = 0,
         max_power_series_terms: int = 5,
+        spse_tolerance: float = 0.1,
         sort_threshold: int = 100_000,
         pad_waste: float = 1.5,
     ):
@@ -91,6 +92,7 @@ class SchurSolver:
         self.pair_chunk = pair_chunk
         self.refinement_iterations = refinement_iterations
         self.max_power_series_terms = max_power_series_terms
+        self.spse_tolerance = spse_tolerance
         program = evaluator.program
 
         elim = [i for i, g in enumerate(program.groups) if g.schur_group == 0]
@@ -814,13 +816,29 @@ class SchurSolver:
                 blocks_b = self._schur_jacobi_blocks(asm, include_e_correction=False)
                 binv_apply = self._block_inverse_apply(blocks_b)
                 n_terms = self.max_power_series_terms
+                tol2 = self.spse_tolerance**2
 
                 def precond(v):
-                    y = binv_apply(v)
-                    acc = y
-                    for _ in range(n_terms):
-                        y = y - binv_apply(s_matvec(y))
-                        acc = acc + y
+                    # series terminates early once the latest term is small
+                    # relative to the accumulated vector (reference:
+                    # spse_tolerance); while_loop keeps it one traced program
+                    y0 = binv_apply(v)
+
+                    def cond(carry):
+                        k, y, acc = carry
+                        return jnp.logical_and(
+                            k < n_terms,
+                            jnp.vdot(y, y) > tol2 * jnp.vdot(acc, acc),
+                        )
+
+                    def body(carry):
+                        k, y, acc = carry
+                        y2 = y - binv_apply(s_matvec(y))
+                        return (k + 1, y2, acc + y2)
+
+                    _, _, acc = jax.lax.while_loop(
+                        cond, body, (jnp.zeros((), jnp.int32), y0, y0)
+                    )
                     return acc
 
             else:  # JACOBI / IDENTITY fall back to diagonal scaling

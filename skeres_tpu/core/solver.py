@@ -134,6 +134,7 @@ def solve(
                 else 0
             ),
             max_power_series_terms=options.max_num_spse_iterations,
+            spse_tolerance=options.spse_tolerance,
             sort_threshold=options.jacobian_sort_threshold,
             pad_waste=options.jacobian_pad_waste,
         )

@@ -80,3 +80,14 @@ class CallbackReturnType(enum.Enum):
 class LoggingType(enum.Enum):
     SILENT = "SILENT"
     PER_MINIMIZER_ITERATION = "PER_MINIMIZER_ITERATION"
+
+
+class DumpFormatType(enum.Enum):
+    """Trust-region problem dump format (reference: ``solver.h``
+    DumpFormatType). CONSOLE logs norms/shapes; TEXTFILE writes the full
+    linear system per dumped iteration — here as ``.npz`` of the
+    batch-block arrays (the TPU-native Jacobian representation) instead of
+    the reference's per-matrix text files."""
+
+    CONSOLE = "CONSOLE"
+    TEXTFILE = "TEXTFILE"

@@ -192,3 +192,58 @@ def test_sorted_camera_layout_matches_unsorted():
     for x, y in zip(b0, b1):
         np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=1e-9,
                                    atol=1e-12)
+
+
+def test_spse_tolerance_early_termination(dense_solution, small_bal):
+    """spse_tolerance (reference: solver.h) terminates the Neumann series
+    early; the preconditioner changes but the PCG solution must not —
+    solve quality is certified against the dense reference at both a
+    truncating tolerance and tolerance 0 (full fixed-length series)."""
+    ref_summary, _, _ = dense_solution
+    for tol in (0.0, 0.5):
+        summary, _, _ = _solve(
+            LinearSolverType.ITERATIVE_SCHUR,
+            small_bal,
+            preconditioner_type=PreconditionerType.POWER_SERIES_EXPANSION,
+            spse_tolerance=tol,
+        )
+        assert summary.termination_type == TerminationType.CONVERGENCE
+        np.testing.assert_allclose(
+            summary.final_cost, ref_summary.final_cost, rtol=1e-4
+        )
+
+
+def test_trust_region_problem_dumps(tmp_path, small_bal):
+    """trust_region_problem_dump_* (reference: solver.h): TEXTFILE writes
+    one npz per dumped iteration holding the linear system."""
+    problem, _, _ = build_bal_problem(small_bal)
+    options = SolverOptions(
+        linear_solver_type=LinearSolverType.DENSE_NORMAL_CHOLESKY,
+        max_num_iterations=3,
+        trust_region_problem_dump_directory=str(tmp_path),
+        trust_region_minimizer_iterations_to_dump=(1, 2),
+    )
+    st.solve(options, problem)
+    for it in (1, 2):
+        f = tmp_path / f"lm_iteration_{it:03d}.npz"
+        assert f.exists(), f
+        dump = np.load(f)
+        assert "gradient" in dump and "lm_diagonal" in dump
+        assert "step" in dump and "solver_data_0" in dump
+        assert dump["gradient"].ndim == 1
+    assert not (tmp_path / "lm_iteration_003.npz").exists()
+
+
+def test_trust_region_dump_console(capsys, small_bal):
+    from skeres_tpu.core.types import DumpFormatType
+
+    problem, _, _ = build_bal_problem(small_bal)
+    options = SolverOptions(
+        linear_solver_type=LinearSolverType.DENSE_NORMAL_CHOLESKY,
+        max_num_iterations=2,
+        trust_region_minimizer_iterations_to_dump=(1,),
+        trust_region_problem_dump_format_type=DumpFormatType.CONSOLE,
+    )
+    st.solve(options, problem)
+    out = capsys.readouterr().out
+    assert "LM iteration 1" in out and "solver_data[0]" in out
