@@ -41,6 +41,9 @@ def timeit(fn, *args, n=5):
 
 
 def main():
+    from _tunnel import ensure_tpu_alive
+
+    ensure_tpu_alive()
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=16384)
     ap.add_argument("--reps", type=int, default=5)

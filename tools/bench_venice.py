@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from _tunnel import ensure_tpu_alive
+
+    ensure_tpu_alive()
     ap = argparse.ArgumentParser()
     ap.add_argument("--num_cameras", type=int, default=1778)
     ap.add_argument("--num_points", type=int, default=1_000_000)

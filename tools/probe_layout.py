@@ -10,6 +10,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from _tunnel import ensure_tpu_alive
+
+ensure_tpu_alive()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -29,6 +29,9 @@ def timeit(fn, *args, n=10):
 
 
 def main():
+    from _tunnel import ensure_tpu_alive
+
+    ensure_tpu_alive()
     ap = argparse.ArgumentParser()
     ap.add_argument("--num_cameras", type=int, default=1778)
     ap.add_argument("--num_points", type=int, default=1_000_000)

@@ -75,6 +75,9 @@ def bench_compiled(fn, *args, n=30):
 def main():
     import argparse
 
+    from _tunnel import ensure_tpu_alive
+
+    ensure_tpu_alive()
     ap = argparse.ArgumentParser()
     ap.add_argument("--num_cameras", type=int, default=49)
     ap.add_argument("--num_points", type=int, default=7776)
