@@ -75,3 +75,27 @@ diag_local = np.asarray(jax.device_get(diag.addressable_data(0)))
 np.testing.assert_allclose(g_local, ref["g"], rtol=1e-10)
 np.testing.assert_allclose(diag_local, ref["diag"], rtol=1e-10)
 print(f"proc {proc_id}: OK cost={float(cost):.6e}")
+
+# -- full LM solve: trajectory must equal the single-process reference ----
+# (VERDICT r2 next #3: extend the smoke to a short full solve). Exercises
+# the sharded evaluator + sharded windowed reductions + sharded Schur PCG
+# across two REAL processes, not just one eval.
+import skeres_tpu as st  # noqa: E402
+from skeres_tpu.core.options import SolverOptions  # noqa: E402
+from skeres_tpu.core.types import LinearSolverType, PreconditionerType  # noqa: E402
+
+bal2 = synthetic_bal(num_cameras=4, num_points=30, observations_per_point=3)
+problem2, _, _ = build_bal_problem(bal2)
+options = SolverOptions(
+    linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
+    preconditioner_type=PreconditionerType.SCHUR_JACOBI,
+    max_num_iterations=5,
+    function_tolerance=0.0,
+    gradient_tolerance=0.0,
+    parameter_tolerance=0.0,
+    mesh=mesh,
+)
+summary = st.solve(options, problem2)
+traj = np.array([it.cost for it in summary.iterations])
+np.testing.assert_allclose(traj, ref["traj"], rtol=1e-6)
+print(f"proc {proc_id}: OK traj n={len(traj)} final={traj[-1]:.6e}")

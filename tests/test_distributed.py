@@ -41,9 +41,29 @@ def test_two_process_sharded_eval(tmp_path):
     state = program.initial_state(ev.dtype)
     cost, blocks = jax.jit(ev.blocks)(state)
     g, diag = jax.jit(ev.gradient_and_diag)(blocks)
+
+    # single-process LM trajectory reference for the full-solve check
+    import skeres_tpu as st
+    from skeres_tpu.core.options import SolverOptions
+    from skeres_tpu.core.types import LinearSolverType, PreconditionerType
+
+    bal2 = synthetic_bal(num_cameras=4, num_points=30, observations_per_point=3)
+    problem2, _, _ = build_bal_problem(bal2)
+    options = SolverOptions(
+        linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
+        preconditioner_type=PreconditionerType.SCHUR_JACOBI,
+        max_num_iterations=5,
+        function_tolerance=0.0,
+        gradient_tolerance=0.0,
+        parameter_tolerance=0.0,
+    )
+    summary = st.solve(options, problem2)
+    traj = np.array([it.cost for it in summary.iterations])
+
     ref = tmp_path / "ref.npz"
     np.savez(
-        ref, cost=float(cost), g=np.asarray(g), diag=np.asarray(diag)
+        ref, cost=float(cost), g=np.asarray(g), diag=np.asarray(diag),
+        traj=traj,
     )
 
     port = _free_port()
@@ -78,3 +98,4 @@ def test_two_process_sharded_eval(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
         assert "OK cost=" in out
+        assert "OK traj" in out
