@@ -82,6 +82,18 @@ class LoggingType(enum.Enum):
     PER_MINIMIZER_ITERATION = "PER_MINIMIZER_ITERATION"
 
 
+class CovarianceAlgorithmType(enum.Enum):
+    """Reference: ``covariance.h`` CovarianceAlgorithmType. DENSE_SVD is
+    the reference algorithm verbatim; SCHUR_COMPLEMENT replaces the
+    reference's SPARSE_QR for Schur-structured (bundle-adjustment)
+    problems — the block inverse of [[B, W], [W^T, C]] is computed through
+    the reduced camera system S instead of a general sparse factorization
+    (no TPU mapping for the latter; documented deviation, SURVEY.md §3.6)."""
+
+    DENSE_SVD = "DENSE_SVD"
+    SCHUR_COMPLEMENT = "SCHUR_COMPLEMENT"
+
+
 class DumpFormatType(enum.Enum):
     """Trust-region problem dump format (reference: ``solver.h``
     DumpFormatType). CONSOLE logs norms/shapes; TEXTFILE writes the full

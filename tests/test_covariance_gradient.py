@@ -87,3 +87,60 @@ def test_gradient_problem_on_sphere_manifold():
     )
     np.testing.assert_allclose(np.linalg.norm(x_sol), 1.0, atol=1e-8)
     np.testing.assert_allclose(x_sol, c / np.linalg.norm(c), atol=1e-5)
+
+
+def test_covariance_schur_complement_matches_dense_svd():
+    """SCHUR_COMPLEMENT covariance (block inverse through the reduced
+    camera system, never forming the full J^T J — the TPU-native
+    counterpart of [ceres: covariance_impl.cc] SPARSE_QR on BA structure)
+    must reproduce the DENSE_SVD path on every block-pair type:
+    camera-camera, camera-point, point-point (same and distinct points)."""
+    from skeres_tpu.core.types import CovarianceAlgorithmType, LinearSolverType
+    from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+    bal = synthetic_bal(num_cameras=5, num_points=30, observations_per_point=4)
+    problem, cameras, points = build_bal_problem(bal)
+    # anchor the gauge so J^T J is full rank on the free coordinates
+    # (2 constant cameras = 18 fixed dof > the 7 gauge dof)
+    problem.set_parameter_block_constant(cameras[0])
+    problem.set_parameter_block_constant(cameras[1])
+
+    st.solve(
+        SolverOptions(
+            linear_solver_type=LinearSolverType.DENSE_SCHUR,
+            max_num_iterations=25,
+        ),
+        problem,
+    )
+
+    dense = Covariance()
+    assert dense.compute(problem)
+    schur = Covariance(
+        CovarianceOptions(
+            algorithm_type=CovarianceAlgorithmType.SCHUR_COMPLEMENT
+        )
+    )
+    assert schur.compute(problem)
+
+    pairs = [
+        (cameras[2], cameras[2]),
+        (cameras[2], cameras[4]),
+        (cameras[3], points[7]),
+        (points[11], cameras[2]),
+        (points[3], points[3]),
+        (points[3], points[19]),
+        # constant camera: covariance must be zero in both paths
+        (cameras[0], cameras[2]),
+    ]
+    for b1, b2 in pairs:
+        want = dense.get_covariance_block_in_tangent_space(b1, b2)
+        got = schur.get_covariance_block_in_tangent_space(b1, b2)
+        np.testing.assert_allclose(
+            got, want, rtol=1e-5, atol=1e-9,
+            err_msg=f"block pair {(b1.group_index, b1.row)} x "
+                    f"{(b2.group_index, b2.row)}",
+        )
+    # ambient-space lift agrees too (manifold plus-Jacobians)
+    want = dense.get_covariance_block(cameras[2], points[7])
+    got = schur.get_covariance_block(cameras[2], points[7])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-9)

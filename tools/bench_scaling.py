@@ -100,9 +100,52 @@ def main():
             "rows": results,
             "obs": bal.num_observations,
             "backend": jax.default_backend(),
+            "physical_cpus": os.cpu_count(),
         },
     }
     print(json.dumps(out))
+
+    # -- weak-scaling proxy (the meaningful overhead measure when virtual
+    # devices outnumber physical cores): one device solving a 1/8-size
+    # problem vs 8 shards solving the full problem. With equal PER-SHARD
+    # load, the ratio isolates the sharded program's collective/windowed-
+    # reduction overhead from plain time-slicing contention.
+    ns = args.shards[-1]
+    small = synthetic_bal(
+        num_cameras=args.cameras,
+        num_points=args.points // ns,
+        observations_per_point=args.obs_per_point,
+    )
+
+    def run_small():
+        problem, _, _ = build_bal_problem(small)
+        options = SolverOptions(
+            linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
+            max_num_iterations=args.iters,
+            function_tolerance=0.0,
+            gradient_tolerance=0.0,
+            parameter_tolerance=0.0,
+        )
+        return st.solve(options, problem)
+
+    run_small()
+    summary = run_small()
+    steps = summary.num_successful_steps + summary.num_unsuccessful_steps
+    small_per_step = summary.minimizer_time_in_seconds / max(steps, 1)
+    out2 = {
+        "metric": "weak_scaling_step_time_ratio",
+        "value": round(results[-1]["sec_per_step"] / small_per_step, 3),
+        "unit": (
+            f"x ({ns}-shard full problem / 1-device 1/{ns} problem; equal "
+            "per-shard load; 1.0 = free sharding)"
+        ),
+        "extra": {
+            "small_sec_per_step": round(small_per_step, 4),
+            "sharded_sec_per_step": results[-1]["sec_per_step"],
+            "small_obs": small.num_observations,
+        },
+    }
+    print(json.dumps(out2))
 
 
 if __name__ == "__main__":
