@@ -543,6 +543,14 @@ class TrustRegionMinimizer:
 
         vals = jax.vmap(model)(t)
         t0 = t[jnp.argmin(vals)]
+        # m(t) has frequency content {1, 2} only, so m'(t) has at most 4
+        # zeros -> at most TWO local minima on the circle. Polishing from
+        # the best grid point AND from the best grid point more than pi/2
+        # away (the other basin's representative, if one exists) covers
+        # every basin deterministically — no grid-resolution failure mode.
+        far = jnp.cos(t - t0) < 0.0  # angular distance > pi/2
+        vals_far = jnp.where(far, vals, jnp.inf)
+        t1 = t[jnp.argmin(vals_far)]
         dm = jax.grad(model)
         d2m = jax.grad(dm)
 
@@ -550,10 +558,12 @@ class TrustRegionMinimizer:
             h = d2m(t)
             return t - dm(t) / jnp.where(jnp.abs(h) > 1e-30, h, 1.0), None
 
-        t_star, _ = jax.lax.scan(newton, t0, None, length=4)
+        t_star0, _ = jax.lax.scan(newton, t0, None, length=4)
+        t_star1, _ = jax.lax.scan(newton, t1, None, length=4)
+        # guard: Newton may walk to a maximum; pick the best of all four
+        cands = jnp.stack([t_star0, t_star1, t0, t1])
+        t_star = cands[jnp.argmin(jax.vmap(model)(cands))]
         x_bnd = radius * jnp.stack([jnp.cos(t_star), jnp.sin(t_star)])
-        # guard: Newton may walk to a maximum; keep the better of the two
-        x_bnd = jnp.where(model(t_star) <= model(t0), x_bnd, radius * jnp.stack([jnp.cos(t0), jnp.sin(t0)]))
 
         x_sub = jnp.where(interior_ok, x_int, x_bnd)
         y_sub = x_sub[0] * b1 + x_sub[1] * b2
