@@ -94,13 +94,22 @@ def preconditioned_conjugate_gradients(
     max_iterations: int,
     rtol,
     min_iterations: int = 0,
+    q_tolerance=None,
 ):
     """PCG on a PSD system A x = b (reference:
     ``internal/ceres/conjugate_gradients_solver.cc``), as a
     ``lax.while_loop`` so the whole solve is one device program.
 
-    Stops when ||r|| <= rtol * ||b|| (the reference's r_tolerance form with
-    the eta forcing sequence) or at max_iterations.
+    Termination, matching the reference exactly:
+    - residual: ||r|| <= rtol * ||b|| (r_tolerance with the eta forcing
+      sequence) — used by CGNR;
+    - with ``q_tolerance`` set, the Nash-Sofer (1990) Q-based criterion the
+      reference uses for ITERATIVE_SCHUR: with Q(x) = 0.5 x'Ax - b'x
+      (monotonically decreased by CG), stop when the per-iteration relative
+      decrease ``zeta = i * (Q_i - Q_{i-1}) / Q_i`` drops below
+      ``q_tolerance`` — truncates far earlier than the residual test once
+      the quadratic model stops improving, which is all the trust-region
+      step needs.
     """
     bnorm2 = jnp.dot(b, b)
     tol2 = (rtol * rtol) * bnorm2
@@ -109,17 +118,21 @@ def preconditioned_conjugate_gradients(
     r0 = b
     z0 = precond_apply(r0)
     rz0 = jnp.dot(r0, z0)
-    state0 = (x0, r0, z0, r0 * 0.0 + z0, rz0, jnp.zeros((), jnp.int32))
+    zero = jnp.zeros((), dtype=b.dtype)
+    state0 = (x0, r0, z0, r0 * 0.0 + z0, rz0, jnp.zeros((), jnp.int32),
+              zero, jnp.asarray(False))
     # p0 = z0 (written as broadcast-safe expression above)
 
     def cond(state):
-        x, r, z, p, rz, i = state
+        x, r, z, p, rz, i, q_prev, q_stop = state
         rnorm2 = jnp.dot(r, r)
         not_converged = (rnorm2 > tol2) | (i < min_iterations)
+        if q_tolerance is not None:
+            not_converged = not_converged & ~q_stop
         return not_converged & (i < max_iterations) & (rnorm2 > 0.0)
 
     def body(state):
-        x, r, z, p, rz, i = state
+        x, r, z, p, rz, i, q_prev, _ = state
         ap = matvec(p)
         pap = jnp.dot(p, ap)
         alpha = rz / jnp.where(pap > 0.0, pap, jnp.ones_like(pap))
@@ -130,9 +143,19 @@ def preconditioned_conjugate_gradients(
         rz_new = jnp.dot(r, z)
         beta = rz_new / jnp.where(rz > 0.0, rz, jnp.ones_like(rz))
         p = z + beta * p
-        return (x, r, z, p, rz_new, i + 1)
+        if q_tolerance is not None:
+            # Q(x) = 0.5 x'Ax - b'x = -0.5 (x'b + x'r) with r = b - Ax
+            q = -0.5 * (jnp.dot(x, b) + jnp.dot(x, r))
+            zeta = (i + 1).astype(q.dtype) * (q - q_prev) / jnp.where(
+                q != 0.0, q, jnp.ones_like(q)
+            )
+            q_stop = (q != 0.0) & (zeta < q_tolerance)
+        else:
+            q = q_prev
+            q_stop = jnp.asarray(False)
+        return (x, r, z, p, rz_new, i + 1, q, q_stop)
 
-    x, r, z, p, rz, iters = jax.lax.while_loop(cond, body, state0)
+    x, r, z, p, rz, iters, _, _ = jax.lax.while_loop(cond, body, state0)
     return x, iters
 
 

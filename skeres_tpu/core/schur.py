@@ -847,12 +847,16 @@ class SchurSolver:
                 def precond(v):
                     return v / jnp.maximum(d_f, jnp.finfo(v.dtype).tiny)
 
+            # reference parity (iterative_schur_complement_solver.cc):
+            # Q-based termination with q_tolerance = eta; the residual
+            # criterion is disabled (r_tolerance = -1)
             dx_f, iters = preconditioned_conjugate_gradients(
                 s_matvec,
                 rhs,
                 precond,
                 self.max_cg_iterations,
-                jnp.asarray(self.eta, dtype=g.dtype),
+                jnp.zeros((), dtype=g.dtype),
+                q_tolerance=jnp.asarray(self.eta, dtype=g.dtype),
             )
 
         dx_e = self._back_substitute(asm, dx_f)

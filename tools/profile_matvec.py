@@ -115,6 +115,58 @@ def main():
     for name, t in rows:
         print(f"{name:<28}{t*1e3:>10.1f}")
 
+    # -- amortized chained timing (authoritative: cancels the ~28 ms
+    # axon relay dispatch+readback floor that contaminates the
+    # single-dispatch numbers above; see tools/probe_layout2.py) --------
+    def chain(body, k):
+        def run(consts, v0):
+            with ev.bind(consts):
+                return jax.lax.fori_loop(0, k, lambda i, v: body(v), v0)
+
+        return jax.jit(run)
+
+    def amortized(name, body, v0, k_lo=2, k_hi=12, n=5):
+        f_lo, f_hi = chain(body, k_lo), chain(body, k_hi)
+        t_lo = timeit(f_lo, consts, v0, n=n)
+        t_hi = timeit(f_hi, consts, v0, n=n)
+        per = (t_hi - t_lo) / (k_hi - k_lo)
+        print(f"{name:<36}{per*1e3:>10.2f} ms/apply", flush=True)
+        return per
+
+    def mv_body(vv):
+        out = schur._s_matvec(asm, vv)
+        return out / (1.0 + jnp.max(jnp.abs(out)))
+
+    per_mv = amortized("s_matvec amortized", mv_body, v)
+
+    blocks_sj = with_consts(schur._schur_jacobi_blocks)(consts, asm)
+    pre = schur._block_inverse_apply(blocks_sj)
+
+    def pre_body(vv):
+        out = pre(vv)
+        return out / (1.0 + jnp.max(jnp.abs(out)))
+
+    amortized("schur_jacobi apply amortized", pre_body, v)
+
+    # effective bandwidth of the fused 2-pass matvec: it streams the
+    # camera-padded Jacobian once and the point-sorted Jacobian once
+    jac_bytes = sum(
+        int(np.prod(j.shape)) * j.dtype.itemsize for _, j in data
+    )
+    pad_bytes = sum(
+        int(np.prod(c.shape)) * c.dtype.itemsize
+        for c in (with_consts(lambda a: a["cam"])(consts, asm)).values()
+    )
+    cinv_bytes = (
+        int(np.prod(asm["cinv"].shape)) * asm["cinv"].dtype.itemsize
+    )
+    traffic = jac_bytes + pad_bytes + 2 * cinv_bytes
+    print(
+        f"{'matvec traffic':<36}{traffic/1e9:>10.2f} GB "
+        f"-> {traffic/per_mv/1e9:.0f} GB/s effective",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()
