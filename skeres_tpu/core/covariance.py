@@ -79,7 +79,9 @@ class Covariance:
         from skeres_tpu.core.evaluator import Evaluator
 
         program = program or problem.compile()
-        ev = Evaluator(program)
+        ev = Evaluator(
+            program, apply_loss_function=self.options.apply_loss_function
+        )
         state = program.initial_state(ev.dtype)
         _, blocks = jax.jit(ev.blocks)(state)
         jtj = np.asarray(jax.jit(ev.jtj_dense)(blocks), dtype=np.float64)
@@ -146,7 +148,9 @@ class Covariance:
         from skeres_tpu.core.schur import SchurSolver
 
         program = program or problem.compile()
-        ev = Evaluator(program)
+        ev = Evaluator(
+            program, apply_loss_function=self.options.apply_loss_function
+        )
         state = program.initial_state(ev.dtype)
         _, blocks = jax.jit(ev.blocks)(state)
         schur = SchurSolver(ev, iterative=False)

@@ -63,9 +63,14 @@ class Evaluator:
         dtype=None,
         chunk_size: Optional[int] = None,
         mesh=None,
+        apply_loss_function: bool = True,
     ):
         self.program = program
         self.dtype = dtype or default_dtype()
+        # False: skip the robust-loss corrector (reference:
+        # Covariance::Options::apply_loss_function = false evaluates the
+        # covariance from the unweighted Jacobians)
+        self.apply_loss_function = apply_loss_function
         # streamed evaluation reshapes the row axis into (chunks, rows) —
         # incompatible with sharding that same axis; under a mesh the
         # per-shard row count is already 1/n_shards of the batch, which is
@@ -338,7 +343,8 @@ class Evaluator:
 
         r = r * weight[:, None]  # padded rows contribute nothing
         jac = jac * weight[:, None, None]
-        cost, r_c, (jac_c,) = apply_loss(batch.loss, r, [jac])
+        loss = batch.loss if self.apply_loss_function else None
+        cost, r_c, (jac_c,) = apply_loss(loss, r, [jac])
         jac_c = jac_c * mask[:, None, :]  # zero out constant coordinates
         return cost, r_c, jac_c
 

@@ -144,3 +144,47 @@ def test_covariance_schur_complement_matches_dense_svd():
     want = dense.get_covariance_block(cameras[2], points[7])
     got = schur.get_covariance_block(cameras[2], points[7])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-9)
+
+
+def test_covariance_apply_loss_function_false():
+    """apply_loss_function=False (reference: covariance.h) must evaluate
+    the covariance from the UNWEIGHTED Jacobians: with a robust loss on
+    the problem, it equals the covariance of the identical loss-free
+    problem; with the default True it differs."""
+    from skeres_tpu.ops.loss import CauchyLoss
+
+    rng = np.random.default_rng(7)
+    a_mat = rng.normal(size=(8, 3))
+    b_vec = rng.normal(size=(8,))
+
+    def make(loss):
+        problem = st.Problem()
+        x = problem.add_parameter_block(np.full(3, 0.5))
+
+        def resid(params, data):
+            (p,) = params
+            return jnp.asarray(a_mat) @ p - jnp.asarray(b_vec)
+
+        problem.add_residual_block(resid, loss, [x])
+        return problem, x
+
+    p_robust, x_r = make(CauchyLoss(0.3))
+    p_plain, x_p = make(None)
+
+    cov_no_loss = Covariance(CovarianceOptions(apply_loss_function=False))
+    assert cov_no_loss.compute(p_robust)
+    cov_plain = Covariance()
+    assert cov_plain.compute(p_plain)
+    np.testing.assert_allclose(
+        cov_no_loss.get_covariance_block(x_r, x_r),
+        cov_plain.get_covariance_block(x_p, x_p),
+        rtol=1e-10,
+    )
+
+    cov_with_loss = Covariance()
+    assert cov_with_loss.compute(p_robust)
+    assert not np.allclose(
+        cov_with_loss.get_covariance_block(x_r, x_r),
+        cov_plain.get_covariance_block(x_p, x_p),
+        rtol=1e-3,
+    )
