@@ -31,7 +31,9 @@ from typing import Callable, List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data", "nist")
+DATA_DIR = os.path.join(
+    os.path.dirname(__file__), "..", "..", "data", "nist"
+)
 
 
 def _lanczos_data(decimals=None, sig_figs=None):

@@ -42,3 +42,29 @@ def test_ellipse_approximation_converges():
     assert summary.termination_type == TerminationType.CONVERGENCE
     # the piecewise-linear fit lands near the noisy ellipse samples
     assert summary.final_cost < 0.1 * summary.initial_cost
+
+
+def test_rosenbrock_gradient_problem_example():
+    from examples.rosenbrock import main
+
+    summary, solution = main()
+    assert summary.final_cost < 1e-10
+    np.testing.assert_allclose(solution, [1.0, 1.0], atol=1e-4)
+
+
+def test_mgh_scoreboard_example(monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["more_garbow_hillstrom",
+                                      "--problem", "5"])
+    from examples.more_garbow_hillstrom import main
+
+    ok, total = main()
+    assert (ok, total) == (1, 1)
+
+
+def test_nist_scoreboard_example(monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["nist", "--difficulty", "lower"])
+    from examples.nist import main
+
+    successes, total = main()
+    # lower-difficulty ladder: every embedded (problem, start) certifies
+    assert successes == total
