@@ -58,7 +58,6 @@ def main():
     from skeres_tpu.core.problem import Problem
     from skeres_tpu.core.types import LinearSolverType, PreconditionerType
     from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
-    from skeres_tpu.models import rotation as _unused  # noqa: F401
     import skeres_tpu.ops.rotation as rot
 
     print("backend:", jax.default_backend(), flush=True)
