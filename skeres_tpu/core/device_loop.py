@@ -66,8 +66,10 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
         ev = self.ev
         cost, blocks = ev.blocks(state)
         g, diag = ev.gradient_and_diag(blocks)
-        data = self._solver_data(blocks)
         scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
+        # Schur path: scaled + prepared once per linearization; the loop
+        # body's re-solves (rejected steps) reuse it
+        data = self._prep_data(blocks, scale)
         return cost, g, diag, data, scale
 
     def _build_device_loop(self):
@@ -106,8 +108,7 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
             # -- damped solve + candidate ---------------------------------
             gs = g * scale
             diag_s = diag * scale * scale
-            data_s = self._scale_data(data, scale)
-            y, lin_iters = self._solve_damped(data_s, gs, diag_s, radius)
+            y, lin_iters = self._solve_scaled(data, gs, diag_s, radius, scale)
             dx = y * scale
 
             cand = ev.plus(state, dx)
@@ -118,7 +119,7 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
                 dx = ev.tangent_diff(cand, state)
                 y = dx / scale
 
-            jtjdx = self._jtj_dx(data, None, dx)
+            jtjdx = self._jtj_dx_ambient(data, dx, scale)
             model_cost_change = -(jnp.dot(g, dx) + 0.5 * jnp.dot(dx, jtjdx))
             step_norm = jnp.sqrt(jnp.sum(y * y))
 

@@ -262,6 +262,37 @@ class TrustRegionMinimizer:
             )
         raise NotImplementedError(st)
 
+    # -- Schur scaled-prep helpers (hoist mu-independent work) -------------
+    # For the Schur solvers, column scaling and the per-linearization prep
+    # (padded Jacobian copies, undamped E^T E) are computed ONCE per
+    # linearization; every re-solve after a rejected step reuses them.
+    # Other solvers keep the scale-at-solve-time path (cheap for them).
+
+    def _prep_data(self, blocks, scale):
+        data = self._solver_data(blocks)
+        if self.schur_solver is not None:
+            return self.schur_solver.prepare(self._scale_data(data, scale))
+        return data
+
+    def _solve_scaled(self, pdata, gs, diag_s, radius, scale):
+        if self.schur_solver is not None:
+            return self._solve_damped(pdata, gs, diag_s, radius)
+        return self._solve_damped(
+            self._scale_data(pdata, scale), gs, diag_s, radius
+        )
+
+    def _jtj_dx_ambient(self, pdata, dx, scale):
+        """(J^T J) dx given possibly-scaled prep: J^T J = S^-1 J_s^T J_s S^-1."""
+        if self.schur_solver is not None:
+            return self.schur_solver.jtj_matvec(pdata, dx / scale) / scale
+        return self._jtj_dx(pdata, None, dx)
+
+    def _jtj_scaled(self, pdata, u, scale):
+        """(J S)^T (J S) u in scaled space."""
+        if self.schur_solver is not None:
+            return self.schur_solver.jtj_matvec(pdata, u)
+        return scale * self._jtj_dx(pdata, None, scale * u)
+
     def _jtj_dx(self, data, blocks_free, dx):
         """(J^T J) dx for the model-cost computation, solver-specific."""
         st = self.solver_type
@@ -299,10 +330,12 @@ class TrustRegionMinimizer:
         def _linearize(state):
             cost, blocks = ev.blocks(state)
             g, diag = ev.gradient_and_diag(blocks)
-            data = self._solver_data(blocks)
             # Jacobi column scaling (reference: iteration-zero
             # jacobian_scaling_ = 1 / (1 + sqrt(squared column norms)))
             scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
+            # Schur path: scaled + prepared ONCE here; re-solves after
+            # rejected steps reuse it (see _prep_data)
+            data = self._prep_data(blocks, scale)
             g_max_norm = jnp.max(jnp.abs(g)) if ev.num_tangent else jnp.zeros((), dtype)
             g_norm = jnp.sqrt(jnp.sum(g * g))
             if dogleg:
@@ -312,9 +345,8 @@ class TrustRegionMinimizer:
                 # this reuse is dogleg's raison d'etre)
                 gs = g * scale
                 diag_s = diag * scale * scale
-                data_s = self._scale_data(data, scale)
-                y_gn, _ = self._solve_damped(
-                    data_s, gs, diag_s, jnp.asarray(1e32, dtype=dtype)
+                y_gn, _ = self._solve_scaled(
+                    data, gs, diag_s, jnp.asarray(1e32, dtype=dtype), scale
                 )
                 gn = (y_gn,)
             else:
@@ -338,8 +370,9 @@ class TrustRegionMinimizer:
                 else:
                     y, lin_iters = self._dogleg_step(data, scale, gs, y_gn, radius)
             else:
-                data_s = self._scale_data(data, scale)
-                y, lin_iters = self._solve_damped(data_s, gs, diag_s, radius)
+                y, lin_iters = self._solve_scaled(
+                    data, gs, diag_s, radius, scale
+                )
             dx = y * scale
 
             new_state = ev.plus(state, dx)
@@ -353,7 +386,7 @@ class TrustRegionMinimizer:
                 dx = ev.tangent_diff(new_state, state)
                 y = dx / scale
 
-            jtjdx = self._jtj_dx(data, None, dx)
+            jtjdx = self._jtj_dx_ambient(data, dx, scale)
             model_cost_change = -(jnp.dot(g, dx) + 0.5 * jnp.dot(dx, jtjdx))
             step_norm = jnp.sqrt(jnp.sum(y * y))  # scaled-space norm (ref param_tol)
 
@@ -444,8 +477,8 @@ class TrustRegionMinimizer:
         ``dogleg_strategy.cc`` ComputeTraditionalDoglegStep): interpolate
         between the Cauchy point and the Gauss-Newton point on the
         trust-region boundary. Pure vector ops — no linear solve here."""
-        # (J S)^T (J S) v = S * (J^T J) (S v)
-        jtj_s_gs = scale * self._jtj_dx(data, None, scale * gs)
+        # (J S)^T (J S) v  (data may be pre-scaled Schur prep)
+        jtj_s_gs = self._jtj_scaled(data, gs, scale)
         g2 = jnp.dot(gs, gs)
         gBg = jnp.dot(gs, jtj_s_gs)
         alpha = g2 / jnp.where(gBg > 0.0, gBg, jnp.ones_like(gBg))
@@ -496,7 +529,7 @@ class TrustRegionMinimizer:
         b2 = v / jnp.where(v_norm > 0.0, v_norm, 1.0)
 
         def bmul(u):
-            return scale * self._jtj_dx(data, None, scale * u)
+            return self._jtj_scaled(data, u, scale)
 
         bb1 = bmul(b1)
         bb2 = bmul(b2)

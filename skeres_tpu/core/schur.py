@@ -368,20 +368,18 @@ class SchurSolver:
 
     # -- shared assembly pieces ---------------------------------------------------
 
-    def _assemble(self, data, g, d):
-        """Common elimination state: per-batch jacobians, damped C^-1, rhs
-        pieces.
-
-        d: (N,) clamped damping diagonal (already includes mu).
-        Returns dict of device arrays.
-        """
+    def prepare(self, data):
+        """Per-LINEARIZATION prep over (scaled) solver data — everything
+        that does not depend on the damping mu: the E split, the undamped
+        per-point ``E^T E``, and the camera-padded Jacobian copies. The LM
+        strategy re-solves with a new mu after every rejected step WITHOUT
+        re-linearizing; hoisting this out of the damped solve removes a
+        ~1 GB-traffic rebuild (padded-copy gather + ete reduction) from
+        every such re-solve (measured: gathers run at 2.3 GB/s on this
+        chip — BENCH_EXTRA.md round-3 roofline table)."""
         e = self.e_size
-        g_f = g[self._ret_index_dev]
-        d_f = d[self._ret_index_dev]
-        g_e = self._gather_ge(g)
-        d_e = self._gather_ge(d)
-
-        ete = jnp.zeros((self.num_points, e, e), dtype=g.dtype)
+        dtype = data[0][1].dtype
+        ete0 = jnp.zeros((self.num_points, e, e), dtype=dtype)
         per_batch = []
         for bi, (r, jac) in enumerate(data):
             E = self._split_E(bi, jac)
@@ -390,21 +388,41 @@ class SchurSolver:
                 s_e = self.ev.program.batches[bi].slot_groups.index(
                     self.elim_group
                 )
-                ete = ete + self.ev.slot_reduce(bi, s_e, outer).reshape(
+                ete0 = ete0 + self.ev.slot_reduce(bi, s_e, outer).reshape(
                     self.num_points, e, e
                 )
             per_batch.append((r, jac, E))
-
-        ete = ete + jax.vmap(jnp.diag)(d_e)
-        # closed-form batched SPD inverse (3x3 cofactors for BAL)
-        cinv = batched_spd_inverse(ete)
-        # camera-padded Jacobian copies (one gather per damped solve; every
-        # PCG matvec inside is then gather-free on the big arrays)
         cam = {}
         for bi in self.sorted_info:
             cam[bi] = self._sorted_cam_jac(bi, per_batch[bi][1])
+        return dict(per_batch=per_batch, cam=cam, ete0=ete0)
+
+    def _assemble(self, data, g, d):
+        """Per-mu elimination state: damped C^-1 and the rhs pieces.
+
+        ``data`` is either a ``prepare()`` dict (the minimizer's hoisted
+        path) or a raw solver-data tuple (auto-prepared, for direct
+        callers/tests).
+
+        d: (N,) clamped damping diagonal (already includes mu).
+        Returns dict of device arrays.
+        """
+        prep = data if isinstance(data, dict) else self.prepare(data)
+        g_f = g[self._ret_index_dev]
+        d_f = d[self._ret_index_dev]
+        g_e = self._gather_ge(g)
+        d_e = self._gather_ge(d)
+
+        ete = prep["ete0"] + jax.vmap(jnp.diag)(d_e)
+        # closed-form batched SPD inverse (3x3 cofactors for BAL)
+        cinv = batched_spd_inverse(ete)
         return dict(
-            per_batch=per_batch, cinv=cinv, g_f=g_f, d_f=d_f, g_e=g_e, cam=cam
+            per_batch=prep["per_batch"],
+            cinv=cinv,
+            g_f=g_f,
+            d_f=d_f,
+            g_e=g_e,
+            cam=prep["cam"],
         )
 
     def _sorted_cam_jac(self, bi, jac):
@@ -892,9 +910,16 @@ class SchurSolver:
         return self._ret_assemble(accs)
 
     def jtj_matvec(self, data, v):
-        """Full-space (J^T J) v from the resident blocks (model cost)."""
+        """Full-space (J^T J) v from the resident blocks (model cost).
+        Accepts a ``prepare()`` dict (scaled: computes J_s^T J_s v) or raw
+        solver-data tuples."""
+        pairs = (
+            [(r, jac) for (r, jac, _) in data["per_batch"]]
+            if isinstance(data, dict)
+            else data
+        )
         blocks = [
             BatchBlocks(r, jac, self.ev._batch_const[bi][2])
-            for bi, (r, jac) in enumerate(data)
+            for bi, (r, jac) in enumerate(pairs)
         ]
         return self.ev.jtj_matvec(blocks, v)

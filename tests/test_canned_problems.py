@@ -179,9 +179,10 @@ def test_damped_step_matches_normal_equations():
 
         gs = jnp.asarray(g) * scale
         diag_s = diag * scale * scale
-        data_s = minimizer._scale_data(data, scale)
-        y, _ = minimizer._solve_damped(
-            data_s, gs, diag_s, jnp.asarray(radius, ev.dtype)
+        # linearize() returns pre-scaled Schur prep (or raw data for the
+        # dense solvers); _solve_scaled dispatches correctly for both
+        y, _ = minimizer._solve_scaled(
+            data, gs, diag_s, jnp.asarray(radius, ev.dtype), scale
         )
         np.testing.assert_allclose(
             np.asarray(y), y_star, rtol=0, atol=1e-8,

@@ -119,9 +119,9 @@ def test_general_structure_damped_step_matches_dense(iterative):
     y_star = np.linalg.solve(lhs, -(np.asarray(g, np.float64) * np.asarray(scale, np.float64)))
 
     gs = g * scale
-    data_s = minimizer._scale_data(data, scale)
-    y, _ = minimizer._solve_damped(
-        data_s, gs, jnp.asarray(diag_s, ev.dtype), jnp.asarray(radius, ev.dtype)
+    y, _ = minimizer._solve_scaled(
+        data, gs, jnp.asarray(diag_s, ev.dtype), jnp.asarray(radius, ev.dtype),
+        scale,
     )
     np.testing.assert_allclose(np.asarray(y), y_star, rtol=0, atol=1e-8)
 

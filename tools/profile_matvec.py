@@ -139,6 +139,30 @@ def main():
 
     per_mv = amortized("s_matvec amortized", mv_body, v)
 
+    # -- where does the rest of the 6.9 s/step go? single-shot timings of
+    # every per-solve (mu-dependent) piece outside the CG loop ----------
+    from skeres_tpu.core.linear_solvers import lm_diagonal as _lmd
+
+    scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
+    add("scale_data (per solve)", schur.scale_data, data, scale, n=3)
+    add("schur_rhs", schur._schur_rhs, asm, n=3)
+    add("back_substitute", schur._back_substitute, asm, v, n=3)
+    add(
+        "jtj_dx full-space matvec",
+        lambda d, vv: schur.jtj_matvec(d, vv),
+        data,
+        jnp.zeros((ev.num_tangent,), v.dtype),
+        n=3,
+    )
+
+    def full_solve(data_, g_, diag_):
+        return schur.solve_damped(data_, g_, diag_, 1e-4, 1e-6, 1e32)
+
+    add("solve_damped (full, one mu)", full_solve, data, g, diag, n=3)
+    print(f"{'component':<36}{'ms':>10}")
+    for name, t in rows[len(rows) - 5:]:
+        print(f"{name:<36}{t*1e3:>10.1f}")
+
     blocks_sj = with_consts(schur._schur_jacobi_blocks)(consts, asm)
     pre = schur._block_inverse_apply(blocks_sj)
 
