@@ -39,6 +39,11 @@ class SolverOptions:
     # below spse_tolerance * norm(accumulated preconditioned vector)
     # (reference default: 0.1); 0 runs all max_num_spse_iterations terms
     spse_tolerance: float = 0.1
+    # ITERATIVE_SCHUR: materialize S once per damped solve (scatter-free
+    # pair-product assembly, core/explicit_schur.py) so every PCG matvec is
+    # one dense GEMV instead of two gather-bound observation passes
+    # (reference: solver.h use_explicit_schur_complement, same default)
+    use_explicit_schur_complement: bool = False
 
     # -- iteration/time limits ----------------------------------------------
     max_num_iterations: int = 50
@@ -170,9 +175,6 @@ class SolverOptions:
     #                                     N/A v1 — CLUSTER_*/SUBSET
     #                                     preconditioners out of scope
     #                                     (SURVEY §3.6).
-    #   use_explicit_schur_complement     subsumed: DENSE_SCHUR is explicit,
-    #                                     ITERATIVE_SCHUR implicit; the
-    #                                     dense-W fast path auto-selects.
     #   line_search_interpolation_type,
     #   max/min_line_search_step_contraction
     #                                     N/A — the Wolfe/Armijo searches use

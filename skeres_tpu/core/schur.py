@@ -83,6 +83,8 @@ class SchurSolver:
         spse_tolerance: float = 0.1,
         sort_threshold: int = 100_000,
         pad_waste: float = 1.5,
+        use_explicit: bool = False,
+        explicit_s_limit_bytes: int = 2 << 30,
     ):
         self.ev = evaluator
         self.iterative = iterative
@@ -307,6 +309,48 @@ class SchurSolver:
                         f_size=f_size,
                         w_plan=w_plan,
                     )
+
+        # Explicit-S assembly plan (reference: schur_complement_solver.cc /
+        # use_explicit_schur_complement): scatter-free pair-product
+        # assembly of the dense reduced camera system. Viable for the
+        # single-retained-slot BA structure when S fits memory; makes
+        # DENSE_SCHUR practical at venice scale (S 16k^2 = 1 GB) where the
+        # dense-W path (192 TB) and column probing (N_f matvecs) cannot.
+        self.explicit_plan = None
+        if (
+            self.e_batch is not None
+            and len(self.ret_blocks) == 1
+            and len(self.batch_info[self.e_batch]["ret_slots"]) == 1
+            and (not iterative or use_explicit)
+        ):
+            bi = self.e_batch
+            b = program.batches[bi]
+            info = self.batch_info[bi]
+            s, gi, c, f_size = info["ret_slots"][0]
+            nc = program.groups[gi].num_blocks
+            s_bytes = (nc * f_size) ** 2 * 4
+            if s_bytes <= explicit_s_limit_bytes:
+                from skeres_tpu.core.explicit_schur import (
+                    ExplicitSchurPlan,
+                )
+
+                e_slot = b.slot_groups.index(self.elim_group)
+                try:
+                    self.explicit_plan = ExplicitSchurPlan(
+                        cam_idx=evaluator._batch_idx_np[bi][s].astype(
+                            np.int64
+                        ),
+                        pt_idx=evaluator._batch_idx_np[bi][e_slot].astype(
+                            np.int64
+                        ),
+                        num_cameras=nc,
+                        num_points=self.num_points,
+                        f_size=f_size,
+                        e_size=self.e_size,
+                    )
+                except ValueError:
+                    self.explicit_plan = None  # point-degree skew too high
+        self.use_explicit = use_explicit and self.explicit_plan is not None
 
         self._ret_index_dev = jnp.asarray(self.ret_index)
 
@@ -572,7 +616,8 @@ class SchurSolver:
         b_e = -asm["g_e"] - self._wt_apply(asm, dx_f)
         return vpu_einsum("pef,pf->pe", asm["cinv"], b_e)
 
-    def _schur_jacobi_blocks(self, asm, include_e_correction=True):
+    def _schur_jacobi_blocks(self, asm, include_e_correction=True,
+                             only_batch=None):
         """Block diagonal of S per retained block (for the SCHUR_JACOBI
         preconditioner); with ``include_e_correction=False``, the block
         diagonal of B = F^T F + D_f instead (the POWER_SERIES_EXPANSION
@@ -592,6 +637,8 @@ class SchurSolver:
             for gi in self._ret_group_order
         }
         for bi, (r, jac, E) in enumerate(asm["per_batch"]):
+            if only_batch is not None and bi != only_batch:
+                continue
             info = self.batch_info[bi]
             if bi in self.sorted_info and info["ret_slots"]:
                 s, gi, c, t = info["ret_slots"][0]
@@ -746,17 +793,58 @@ class SchurSolver:
                 )
         return asm["d_f"] * v + self._ret_assemble(accs)
 
+    def _dense_s_explicit(self, asm):
+        """Explicit S via the scatter-free pair-product plan
+        (core/explicit_schur.py):
+
+          off-diagonal blocks   sum_p Y_pk A_pl^T (k<l), hierarchical
+                                padded sums onto unique camera pairs,
+                                gather-built into the dense matrix;
+          diagonal blocks       the SCHUR_JACOBI blocks of the observation
+                                batch (F^T F - Y C^-1 Y^T + D_f), which
+                                already ride the camera-padded K-reduce;
+          other batches         (priors etc.) added via their retained
+                                index maps.
+        """
+        plan = self.explicit_plan
+        bi = self.e_batch
+        info = self.batch_info[bi]
+        r, jac, E = asm["per_batch"][bi]
+        s, gi, c, t = info["ret_slots"][0]
+        Fs = jac[:, :, c : c + t]
+        a_rows = vpu_einsum("bmf,bme->bfe", Fs, E)
+        uniq = plan.correction_offdiag(a_rows, asm["cinv"])
+        s_mat = -plan.dense_s_offdiag(uniq)
+        # diagonal blocks of the observation batch, incl. damping
+        diag_blocks = self._schur_jacobi_blocks(asm, only_batch=bi)[0]
+        nc, f = plan.nc, plan.f
+        rows = jnp.arange(nc * f).reshape(nc, f)
+        s_mat = s_mat.at[rows[:, :, None], rows[:, None, :]].add(diag_blocks)
+        # remaining batches (e.g. priors): full coupling via index maps
+        for bj, (rb, jacb, Eb) in enumerate(asm["per_batch"]):
+            if bj == bi or self.batch_info[bj]["tf"] == 0:
+                continue
+            infob = self.batch_info[bj]
+            Fb = jacb[:, :, infob["f_cols"]]
+            ftfb = vpu_einsum("bmf,bmg->bfg", Fb, Fb)
+            fidxb = infob["fidx"]
+            s_mat = s_mat.at[fidxb[:, :, None], fidxb[:, None, :]].add(ftfb)
+        return 0.5 * (s_mat + s_mat.T)
+
     def _dense_s(self, asm):
         """Materialize S (N_f, N_f).
 
-        The generic path applies the implicit matvec to identity columns in
-        lax.map chunks — scatter-free, O(N_f) passes over the observations,
+        Path priority: the dense-W einsum (small problems), the explicit
+        pair-product plan (scales to venice), then the generic implicit
+        column probe — scatter-free, O(N_f) passes over the observations,
         and structure-agnostic (it replaces the old host-side camera-pair
         enumeration + XLA scatter, which could not scale past toy problems
         and supported only one batch signature; reference counterpart:
         ``schur_complement_solver.cc`` assembling S cell by cell)."""
         if self.dense_w is not None:
             return self._dense_s_dense_w(asm)
+        if self.explicit_plan is not None:
+            return self._dense_s_explicit(asm)
         dtype = asm["g_f"].dtype
         eye = jnp.eye(self.num_f, dtype=dtype)
         cols = jax.lax.map(
@@ -815,11 +903,39 @@ class SchurSolver:
                 dx_f = dx_f + solve(r64.astype(s.dtype))
             iters = jnp.ones((), dtype=jnp.int32)
         else:
+            s_explicit = None
+            if self.use_explicit:
+                # reference: use_explicit_schur_complement — materialize S
+                # once per solve; every PCG matvec is then ONE dense GEMV
+                # streaming S at the HBM roofline instead of two
+                # gather-bound passes over the observations
+                s_explicit = self._dense_s(asm)
 
-            def s_matvec(v):
-                return self._s_matvec(asm, v)
+            if s_explicit is not None:
 
-            if self.preconditioner == PreconditionerType.SCHUR_JACOBI:
+                def s_matvec(v):
+                    return s_explicit @ v
+
+            else:
+
+                def s_matvec(v):
+                    return self._s_matvec(asm, v)
+
+            if (
+                s_explicit is not None
+                and self.preconditioner == PreconditionerType.SCHUR_JACOBI
+                and len(self.ret_blocks) == 1
+            ):
+                # block diagonal read straight off the explicit S
+                start, nb, t = self.ret_blocks[0]
+                blocks = [
+                    s_explicit.reshape(nb, t, nb, t)[
+                        jnp.arange(nb), :, jnp.arange(nb), :
+                    ]
+                ]
+                precond = self._block_inverse_apply(blocks)
+
+            elif self.preconditioner == PreconditionerType.SCHUR_JACOBI:
                 blocks = self._schur_jacobi_blocks(asm)
                 precond = self._block_inverse_apply(blocks)
 

@@ -137,6 +137,7 @@ def solve(
             spse_tolerance=options.spse_tolerance,
             sort_threshold=options.jacobian_sort_threshold,
             pad_waste=options.jacobian_pad_waste,
+            use_explicit=options.use_explicit_schur_complement,
         )
 
     inner_refiner = None

@@ -255,3 +255,86 @@ def test_trust_region_dump_console(capsys, small_bal):
     st.solve(options, problem)
     out = capsys.readouterr().out
     assert "LM iteration 1" in out and "solver_data[0]" in out
+
+
+def _explicit_vs_probe(problem, check_iterative=True):
+    """Build S via the explicit pair-product plan and via the implicit
+    column probe on the same assembly; they must agree to fp tolerance."""
+    from skeres_tpu.core.evaluator import Evaluator
+    from skeres_tpu.core.linear_solvers import lm_diagonal
+    from skeres_tpu.core.schur import SchurSolver
+
+    program = problem.compile()
+    ev = Evaluator(program)
+    state = program.initial_state(ev.dtype)
+    _, blocks = jax.jit(ev.blocks)(state)
+    g, diag = jax.jit(ev.gradient_and_diag)(blocks)
+
+    solver = SchurSolver(ev, iterative=False)
+    assert solver.explicit_plan is not None, "plan should be viable here"
+    solver.dense_w = None  # force the explicit path past the small fast path
+    data = solver.solver_data(blocks)
+    d = lm_diagonal(diag, 1e-3, 1e-6, 1e32)
+    asm = jax.jit(lambda: solver._assemble(data, g, d))()
+
+    s_explicit = np.asarray(jax.jit(lambda: solver._dense_s_explicit(asm))())
+    solver.explicit_plan = None
+    s_probe = np.asarray(jax.jit(lambda: solver._dense_s(asm))())
+    np.testing.assert_allclose(s_explicit, s_probe, rtol=5e-6, atol=1e-7)
+
+
+def test_explicit_schur_matches_probe_uniform(small_bal):
+    problem, _, _ = build_bal_problem(small_bal)
+    _explicit_vs_probe(problem)
+
+
+def test_explicit_schur_matches_probe_adversarial():
+    """Non-uniform observation counts, a camera observing the same point
+    twice (diagonal same-camera pair), and a camera-prior batch (extra
+    signature added via index maps)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    bal = synthetic_bal(num_cameras=5, num_points=40, observations_per_point=3)
+    # non-uniform: drop some observations, duplicate others (same camera
+    # re-observing the same point)
+    keep = rng.random(bal.num_observations) > 0.25
+    cam = bal.camera_index[keep]
+    pt = bal.point_index[keep]
+    obs = bal.observations[keep]
+    dup = slice(0, 6)
+    cam = np.concatenate([cam, cam[dup]])
+    pt = np.concatenate([pt, pt[dup]])
+    obs = np.concatenate([obs, obs[dup] + 0.5])
+    bal.camera_index, bal.point_index, bal.observations = cam, pt, obs
+
+    problem, cameras, _ = build_bal_problem(bal)
+
+    def camera_prior(params, data):
+        (c,) = params
+        return 0.05 * (c - data)
+
+    problem.add_residual_blocks(
+        camera_prior,
+        None,
+        [(cameras, np.arange(bal.num_cameras, dtype=np.int32))],
+        data=bal.cameras.copy(),
+        name="prior",
+    )
+    _explicit_vs_probe(problem)
+
+
+def test_iterative_explicit_schur_solves(dense_solution, small_bal):
+    """use_explicit_schur_complement=True (reference: solver.h): the PCG
+    runs on the materialized S and must reach the dense reference cost."""
+    ref_summary, _, _ = dense_solution
+    summary, _, _ = _solve(
+        LinearSolverType.ITERATIVE_SCHUR,
+        small_bal,
+        preconditioner_type=PreconditionerType.SCHUR_JACOBI,
+        use_explicit_schur_complement=True,
+    )
+    assert summary.termination_type == TerminationType.CONVERGENCE
+    np.testing.assert_allclose(
+        summary.final_cost, ref_summary.final_cost, rtol=1e-4
+    )
