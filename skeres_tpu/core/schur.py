@@ -322,6 +322,9 @@ class SchurSolver:
             and len(self.ret_blocks) == 1
             and len(self.batch_info[self.e_batch]["ret_slots"]) == 1
             and (not iterative or use_explicit)
+            # single-device only: the hierarchical pair gathers are global;
+            # under a mesh the implicit sharded matvec path applies
+            and evaluator.mesh is None
         ):
             bi = self.e_batch
             b = program.batches[bi]

@@ -37,6 +37,8 @@ def main():
     # runs predate the flag and inherited SolverOptions' JACOBI default —
     # not comparable without passing --preconditioner JACOBI.
     ap.add_argument("--preconditioner", default="SCHUR_JACOBI")
+    ap.add_argument("--explicit_schur", action="store_true",
+                    help="use_explicit_schur_complement (ITERATIVE_SCHUR)")
     args = ap.parse_args()
 
     import jax
@@ -81,6 +83,7 @@ def main():
         function_tolerance=0.0,
         gradient_tolerance=0.0,
         parameter_tolerance=0.0,
+        use_explicit_schur_complement=args.explicit_schur,
         minimizer_progress_to_stdout=not args.device_loop,
     )
     summary = st.solve(options, problem)
