@@ -108,36 +108,43 @@ class ExplicitSchurPlan:
 
     def __init__(
         self,
-        cam_idx: np.ndarray,  # (B,) camera block id per row
-        pt_idx: np.ndarray,  # (B,) point block id per row
+        cam_idx: np.ndarray,  # (B,) camera block id per row (incl. padding)
+        pt_idx: np.ndarray,  # (B,) point block id per row (incl. padding)
         num_cameras: int,
         num_points: int,
         f_size: int,
         e_size: int,
+        n_valid: Optional[int] = None,  # real rows; tail rows are evaluator
+        # padding (repeated row-0 indices, zero-weight) and get no slots
         pair_cap: int = 32,
         pad_waste: float = 1.5,
     ):
         B = len(cam_idx)
+        if n_valid is None:
+            n_valid = B
         self.nc = num_cameras
         self.np_ = num_points
         self.f = f_size
         self.e = e_size
 
         # -- point grid: rows of each point in a (P, Kp) padded layout ----
-        counts = np.bincount(pt_idx, minlength=num_points)
+        pt_v = pt_idx[:n_valid]
+        counts = np.bincount(pt_v, minlength=num_points)
         kp = int(counts.max()) if num_points else 0
         self.kp = kp
-        if num_points * kp > pad_waste * B * 2.0:
+        if num_points * kp > pad_waste * n_valid * 2.0:
             raise ValueError("point-degree skew too high for explicit S")
-        order = np.argsort(pt_idx, kind="stable")
-        sorted_pt = pt_idx[order]
+        order = np.argsort(pt_v, kind="stable")
+        sorted_pt = pt_v[order]
         starts = np.searchsorted(sorted_pt, np.arange(num_points))
-        pos = np.arange(B) - starts[sorted_pt]
+        pos = np.arange(n_valid) - starts[sorted_pt]
         grid_src = np.full(num_points * kp, B, dtype=np.int64)  # sentinel
         grid_src[sorted_pt * kp + pos] = order
         # uniform point-sorted case: the grid is the identity reshape
         self.grid_is_reshape = bool(
-            (counts == kp).all() and (grid_src == np.arange(B)).all()
+            n_valid == B
+            and (counts == kp).all()
+            and (grid_src == np.arange(B)).all()
         )
         self.grid_src = (
             None if self.grid_is_reshape

@@ -52,17 +52,31 @@ from skeres_tpu.ops.small_inverse import batched_spd_inverse
 __all__ = ["SchurSolver"]
 
 
-def _cam_padded_src(idx_np: np.ndarray, nc: int, K: int) -> np.ndarray:
+def _cam_padded_src(
+    idx_np: np.ndarray, nc: int, K: int, n_valid: Optional[int] = None,
+    sentinel: Optional[int] = None,
+) -> np.ndarray:
     """Row-placement map for the camera-padded layout: returns ``src`` of
     shape (nc*K,) with ``src[cam*K + j]`` = the row index of camera ``cam``'s
-    j-th observation, and ``len(idx_np)`` (a zero sentinel row) in unused
-    slots."""
+    j-th observation, and ``sentinel`` (a zero row appended by the
+    consumer; defaults to ``len(idx_np)``) in unused slots.
+
+    ``n_valid``: evaluator padding appends copies of row 0's indices at the
+    END of each batch (chunked eval / sharding quanta); only the first
+    ``n_valid`` rows are real and get slots — without this, block 0's
+    apparent observation count explodes and the padding-waste gates
+    spuriously reject the layout."""
     b = len(idx_np)
-    order = np.argsort(idx_np, kind="stable")
-    sorted_cam = idx_np[order]
+    if sentinel is None:
+        sentinel = b
+    if n_valid is None:
+        n_valid = b
+    idx_v = idx_np[:n_valid]
+    order = np.argsort(idx_v, kind="stable")
+    sorted_cam = idx_v[order]
     starts = np.searchsorted(sorted_cam, np.arange(nc))
-    pos = np.arange(b) - starts[sorted_cam]
-    src = np.full(nc * K, b, dtype=np.int64)
+    pos = np.arange(n_valid) - starts[sorted_cam]
+    src = np.full(nc * K, sentinel, dtype=np.int64)
     src[sorted_cam * K + pos] = order
     return src
 
@@ -216,17 +230,22 @@ class SchurSolver:
             s, gi, c, t = info["ret_slots"][0]
             idx_np = evaluator._batch_idx_np[bi][s].astype(np.int64)
             B = len(idx_np)
-            if B < sort_threshold:
+            # only the first num_blocks rows are real; evaluator padding
+            # repeats row 0's indices (chunk/shard quanta) and would
+            # otherwise explode block 0's apparent count
+            B_real = b.num_blocks
+            if B_real < sort_threshold:
                 continue
             nc = program.groups[gi].num_blocks
             e_slot = b.slot_groups.index(self.elim_group)
             pidx_np = evaluator._batch_idx_np[bi][e_slot].astype(np.int64)
             if evaluator.mesh is None:
-                counts = np.bincount(idx_np, minlength=nc)
+                counts = np.bincount(idx_np[:B_real], minlength=nc)
                 K = int(counts.max())
-                if nc * K > pad_waste * B:  # skewed: padding waste too high
+                if nc * K > pad_waste * B_real:  # skewed: waste too high
                     continue
-                src = _cam_padded_src(idx_np, nc, K)
+                src = _cam_padded_src(idx_np, nc, K, n_valid=B_real,
+                                      sentinel=B)
                 pidx_pad = np.concatenate([pidx_np, [0]])[src]
                 self.sorted_info[bi] = dict(
                     kind="local",
@@ -244,15 +263,24 @@ class SchurSolver:
                 ns = evaluator._n_shards
                 bs = B // ns
                 parts = idx_np.reshape(ns, bs)
+                # per-shard real-row counts (padding occupies the tail of
+                # the LAST shards only — rows are contiguous)
+                valid = np.clip(B_real - bs * np.arange(ns), 0, bs)
                 K = int(
                     max(
-                        np.bincount(p, minlength=nc).max() for p in parts
+                        np.bincount(p[: valid[i]], minlength=nc).max()
+                        if valid[i] else 0
+                        for i, p in enumerate(parts)
                     )
                 )
-                if ns * nc * K > pad_waste * B:  # padding waste too high
+                if K == 0 or ns * nc * K > pad_waste * B_real:
                     continue
                 src = np.stack(
-                    [_cam_padded_src(p, nc, K) for p in parts]
+                    [
+                        _cam_padded_src(p, nc, K, n_valid=int(valid[i]),
+                                        sentinel=bs)
+                        for i, p in enumerate(parts)
+                    ]
                 )  # (ns, nc*K), sentinel = bs
                 pparts = pidx_np.reshape(ns, bs)
                 pidx_pad = np.stack(
@@ -350,6 +378,7 @@ class SchurSolver:
                         num_points=self.num_points,
                         f_size=f_size,
                         e_size=self.e_size,
+                        n_valid=b.num_blocks,
                     )
                 except ValueError:
                     self.explicit_plan = None  # point-degree skew too high

@@ -60,3 +60,47 @@ def test_chunked_solve_matches_full_trajectory():
     # LM iterations the trajectories agree to ~1e-8 relative, not bitwise
     np.testing.assert_allclose(s1.final_cost, s2.final_cost, rtol=1e-6)
     assert len(s1.iterations) == len(s2.iterations)
+
+
+def test_padded_layouts_survive_chunk_padding():
+    """Evaluator chunk padding repeats row 0's indices; the camera-padded
+    layout and the explicit-S plan must ignore those rows instead of
+    letting block 0's apparent count trip the waste gates (regression:
+    bench_venice with --chunk silently lost BOTH fast paths)."""
+    import jax
+    from skeres_tpu.core.evaluator import Evaluator
+    from skeres_tpu.core.schur import SchurSolver
+    from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+    bal = synthetic_bal(num_cameras=6, num_points=90, observations_per_point=3)
+    problem, _, _ = build_bal_problem(bal)
+    program = problem.compile()
+    # chunk that does NOT divide B=270 -> padding rows appended
+    ev = Evaluator(program, chunk_size=64)
+    assert ev._batch_const[0][1][0].shape[0] % 64 == 0
+    assert ev._batch_const[0][1][0].shape[0] > bal.num_observations
+
+    srt = SchurSolver(ev, iterative=True, sort_threshold=1)
+    assert srt.sorted_info, "camera-padded layout lost under chunk padding"
+
+    dns = SchurSolver(ev, iterative=False)
+    dns.dense_w = None
+    assert dns.explicit_plan is not None, "explicit plan lost under padding"
+
+    # and the solves still match the unchunked evaluator's
+    ev0 = Evaluator(program)
+    from skeres_tpu.core.linear_solvers import lm_diagonal
+
+    def damped(ev_, solver):
+        state = program.initial_state(ev_.dtype)
+        _, blocks = jax.jit(ev_.blocks)(state)
+        g, diag = jax.jit(ev_.gradient_and_diag)(blocks)
+        data = solver.solver_data(blocks)
+        dx, _ = jax.jit(
+            lambda: solver.solve_damped(data, g, diag, 1e-3, 1e-6, 1e32)
+        )()
+        return np.asarray(dx)
+
+    ref = damped(ev0, SchurSolver(ev0, iterative=False))
+    got = damped(ev, dns)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-9)
