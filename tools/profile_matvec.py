@@ -115,34 +115,7 @@ def main():
     for name, t in rows:
         print(f"{name:<28}{t*1e3:>10.1f}")
 
-    # -- amortized chained timing (authoritative: cancels the ~28 ms
-    # axon relay dispatch+readback floor that contaminates the
-    # single-dispatch numbers above; see tools/probe_layout2.py) --------
-    def chain(body, k):
-        def run(consts, v0):
-            with ev.bind(consts):
-                return jax.lax.fori_loop(0, k, lambda i, v: body(v), v0)
-
-        return jax.jit(run)
-
-    def amortized(name, body, v0, k_lo=2, k_hi=12, n=5):
-        f_lo, f_hi = chain(body, k_lo), chain(body, k_hi)
-        t_lo = timeit(f_lo, consts, v0, n=n)
-        t_hi = timeit(f_hi, consts, v0, n=n)
-        per = (t_hi - t_lo) / (k_hi - k_lo)
-        print(f"{name:<36}{per*1e3:>10.2f} ms/apply", flush=True)
-        return per
-
-    def mv_body(vv):
-        out = schur._s_matvec(asm, vv)
-        return out / (1.0 + jnp.max(jnp.abs(out)))
-
-    per_mv = amortized("s_matvec amortized", mv_body, v)
-
-    # -- where does the rest of the 6.9 s/step go? single-shot timings of
-    # every per-solve (mu-dependent) piece outside the CG loop ----------
-    from skeres_tpu.core.linear_solvers import lm_diagonal as _lmd
-
+    # -- per-solve (mu-dependent) pieces, single-shot -------------------
     scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
     add("scale_data (per solve)", schur.scale_data, data, scale, n=3)
     add("schur_rhs", schur._schur_rhs, asm, n=3)
@@ -159,18 +132,47 @@ def main():
         return schur.solve_damped(data_, g_, diag_, 1e-4, 1e-6, 1e32)
 
     add("solve_damped (full, one mu)", full_solve, data, g, diag, n=3)
+    if schur.explicit_plan is not None:
+        add("dense_s explicit assembly", schur._dense_s_explicit, asm, n=3)
     print(f"{'component':<36}{'ms':>10}")
-    for name, t in rows[len(rows) - 5:]:
+    for name, t in rows[len(rows) - (6 if schur.explicit_plan else 5):]:
         print(f"{name:<36}{t*1e3:>10.1f}")
 
-    blocks_sj = with_consts(schur._schur_jacobi_blocks)(consts, asm)
-    pre = schur._block_inverse_apply(blocks_sj)
+    # -- amortized chained timing (authoritative: cancels the ~28 ms
+    # axon relay dispatch+readback floor that contaminates the
+    # single-dispatch numbers above). The chained operand (asm) MUST be a
+    # jit ARGUMENT — closure constants embed in the HLO and overflow the
+    # axon remote-compile request (HTTP 413) at scale. ------------------
+    def chain(body, k):
+        def run(consts, asm_, v0):
+            with ev.bind(consts):
+                return jax.lax.fori_loop(
+                    0, k, lambda i, vv: body(asm_, vv), v0
+                )
 
-    def pre_body(vv):
-        out = pre(vv)
+        return jax.jit(run)
+
+    def amortized(name, body, operand, v0, k_lo=2, k_hi=12, n=5):
+        f_lo, f_hi = chain(body, k_lo), chain(body, k_hi)
+        t_lo = timeit(f_lo, consts, operand, v0, n=n)
+        t_hi = timeit(f_hi, consts, operand, v0, n=n)
+        per = (t_hi - t_lo) / (k_hi - k_lo)
+        print(f"{name:<36}{per*1e3:>10.2f} ms/apply", flush=True)
+        return per
+
+    def mv_body(asm_, vv):
+        out = schur._s_matvec(asm_, vv)
         return out / (1.0 + jnp.max(jnp.abs(out)))
 
-    amortized("schur_jacobi apply amortized", pre_body, v)
+    per_mv = amortized("s_matvec amortized", mv_body, asm, v)
+
+    blocks_sj = with_consts(schur._schur_jacobi_blocks)(consts, asm)
+
+    def pre_body(blocks_, vv):
+        out = schur._block_inverse_apply(blocks_)(vv)
+        return out / (1.0 + jnp.max(jnp.abs(out)))
+
+    amortized("schur_jacobi apply amortized", pre_body, blocks_sj, v)
 
     # effective bandwidth of the fused 2-pass matvec: it streams the
     # camera-padded Jacobian once and the point-sorted Jacobian once
