@@ -195,6 +195,12 @@ class ExplicitSchurPlan:
         # point through two rows) correctly receives BOTH reads: the true
         # contribution to S[a,a] is sum_{k<l}(T + T^T)
         self.pos2u_lower = jnp.asarray(pos2u_t.astype(np.int32))
+        # static column permutation transposing a flat (f, f) block —
+        # TPU tiling pads any trailing (f, f)=(9,9) dims to (16, 128)
+        # (14x memory blow-up at nc^2 rows), so EVERY pair-block array
+        # stays in flat-81 2D form (pads only 81->128)
+        ij = np.arange(f_size * f_size).reshape(f_size, f_size)
+        self.perm_t = jnp.asarray(ij.T.reshape(-1).astype(np.int32))
 
     # -- runtime -----------------------------------------------------------
 
@@ -207,7 +213,7 @@ class ExplicitSchurPlan:
             (self.np_, self.kp) + arr.shape[1:]
         )
 
-    def correction_offdiag(self, a_rows, cinv, chunk_points: int = 131072):
+    def correction_offdiag(self, a_rows, cinv, chunk_points: int = 32768):
         """sum over points of Y_pk A_pl^T for k < l, reduced to the unique
         camera-pair blocks: returns (n_uniq, f, f).
 
@@ -250,17 +256,36 @@ class ExplicitSchurPlan:
             vals = chunk_vals(
                 (a_grid, cinv, self.swap_mask, self.pair_valid)
             )
-        return _apply_hierarchical_sum(self.levels, vals).reshape(
-            self.n_uniq, f, f
-        )
+        # flat-81 rows throughout (see perm_t note)
+        return _apply_hierarchical_sum(self.levels, vals)
 
-    def dense_s_offdiag(self, uniq_blocks):
+    def dense_s_offdiag(self, uniq_flat, chunk_cams: int = 127):
         """Gather-build the (nc*f, nc*f) off-diagonal correction from the
-        unique pair blocks (upper + transposed lower reads)."""
+        unique pair blocks (``uniq_flat``: (n_uniq, f*f) flat rows; upper
+        read + statically-permuted transposed lower read), then rearrange
+        block rows to the dense matrix in camera chunks — the full
+        (nc, nc, f, f) intermediate would tile-pad 14x (25 GB at venice),
+        per-chunk it is bounded."""
         nc, f = self.nc, self.f
-        zero = jnp.zeros((1, f, f), uniq_blocks.dtype)
-        padded = jnp.concatenate([uniq_blocks, zero])
-        upper = padded[self.pos2u_upper]
-        lower = jnp.swapaxes(padded[self.pos2u_lower], 1, 2)
-        blocks = (upper + lower).reshape(nc, nc, f, f)
-        return jnp.swapaxes(blocks, 1, 2).reshape(nc * f, nc * f)
+        zero = jnp.zeros((1, f * f), uniq_flat.dtype)
+        padded = jnp.concatenate([uniq_flat, zero])
+        blocks81 = padded[self.pos2u_upper] + padded[self.pos2u_lower][
+            :, self.perm_t
+        ]  # (nc*nc, f*f), 2D throughout
+
+        cch = min(chunk_cams, nc)
+        nch = -(-nc // cch)
+        pad = nch * cch - nc
+        b = blocks81.reshape(nc, nc * f * f)
+        if pad:
+            b = jnp.pad(b, ((0, pad), (0, 0)))
+
+        def rearr(g):  # (cch, nc*f*f) -> (cch*f, nc*f)
+            return (
+                g.reshape(cch, nc, f, f)
+                .swapaxes(1, 2)
+                .reshape(cch * f, nc * f)
+            )
+
+        s = jax.lax.map(rearr, b.reshape(nch, cch, nc * f * f))
+        return s.reshape(nch * cch * f, nc * f)[: nc * f]
