@@ -204,28 +204,36 @@ class ExplicitSchurPlan:
 
     # -- runtime -----------------------------------------------------------
 
-    def point_grid(self, arr):
-        """(B, ...) row array -> (P, Kp, ...) padded point grid."""
+    def point_grid_flat(self, arr_flat):
+        """(B, D) flat row array -> (P, Kp*D) padded point grid. Flat 2D
+        end to end: any materialized array with trailing dims like (9, 3)
+        tile-pads up to ~25x on TPU (the venice OOM), so every boundary
+        shape here keeps a wide last dimension."""
+        d = arr_flat.shape[1]
         if self.grid_is_reshape:
-            return arr.reshape((self.np_, self.kp) + arr.shape[1:])
-        zero = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
-        return jnp.concatenate([arr, zero])[self.grid_src].reshape(
-            (self.np_, self.kp) + arr.shape[1:]
+            return arr_flat.reshape(self.np_, self.kp * d)
+        zero = jnp.zeros((1, d), arr_flat.dtype)
+        return jnp.concatenate([arr_flat, zero])[self.grid_src].reshape(
+            self.np_, self.kp * d
         )
 
-    def correction_offdiag(self, a_rows, cinv, chunk_points: int = 32768):
+    def correction_offdiag(self, a_flat, cinv_flat, chunk_points: int = 8192):
         """sum over points of Y_pk A_pl^T for k < l, reduced to the unique
-        camera-pair blocks: returns (n_uniq, f, f).
+        camera-pair blocks: returns flat (n_uniq, f*f) rows.
 
-        a_rows: (B, f, e) per-row A = F^T E (scaled space);
-        cinv:   (P, e, e).
+        a_flat:    (B, f*e) per-row A = F^T E (scaled space), flat;
+        cinv_flat: (P, e*e) flat.
         """
         f, e = self.f, self.e
-        a_grid = self.point_grid(a_rows)  # (P, Kp, f, e)
+        kp = self.kp
+        grid = self.point_grid_flat(a_flat)  # (P, Kp*f*e)
 
         def chunk_vals(args):
-            a_c, cinv_c, swap_c, valid_c = args
-            y_c = vpu_einsum("pkfe,peg->pkfg", a_c, cinv_c)
+            g_c, cinv_c, swap_c, valid_c = args
+            c = g_c.shape[0]
+            a_c = g_c.reshape(c, kp, f, e)
+            y_c = vpu_einsum("pkfe,peg->pkfg", a_c,
+                             cinv_c.reshape(c, e, e))
             ya = y_c[:, self.pair_k]  # (p, npair, f, e)
             ab = a_c[:, self.pair_l]
             t = vpu_einsum("pnfe,pnge->pnfg", ya, ab)
@@ -239,22 +247,22 @@ class ExplicitSchurPlan:
         if P > chunk_points:
             nch = -(-P // chunk_points)
             pad = nch * chunk_points - P
-            a_grid = jnp.pad(a_grid, ((0, pad), (0, 0), (0, 0), (0, 0)))
-            cinv_p = jnp.pad(cinv, ((0, pad), (0, 0), (0, 0)))
+            grid = jnp.pad(grid, ((0, pad), (0, 0)))
+            cinv_p = jnp.pad(cinv_flat, ((0, pad), (0, 0)))
             sw = jnp.pad(self.swap_mask, ((0, pad), (0, 0)))
             va = jnp.pad(self.pair_valid, ((0, pad), (0, 0)))
             vals = jax.lax.map(
                 chunk_vals,
                 (
-                    a_grid.reshape((nch, chunk_points) + a_grid.shape[1:]),
-                    cinv_p.reshape((nch, chunk_points) + cinv.shape[1:]),
+                    grid.reshape(nch, chunk_points, -1),
+                    cinv_p.reshape(nch, chunk_points, -1),
                     sw.reshape(nch, chunk_points, -1),
                     va.reshape(nch, chunk_points, -1),
                 ),
             ).reshape(-1, f * f)[: self.n_pair_rows]
         else:
             vals = chunk_vals(
-                (a_grid, cinv, self.swap_mask, self.pair_valid)
+                (grid, cinv_flat, self.swap_mask, self.pair_valid)
             )
         # flat-81 rows throughout (see perm_t note)
         return _apply_hierarchical_sum(self.levels, vals)

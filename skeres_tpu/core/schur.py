@@ -844,8 +844,12 @@ class SchurSolver:
         r, jac, E = asm["per_batch"][bi]
         s, gi, c, t = info["ret_slots"][0]
         Fs = jac[:, :, c : c + t]
-        a_rows = vpu_einsum("bmf,bme->bfe", Fs, E)
-        uniq = plan.correction_offdiag(a_rows, asm["cinv"])
+        e = self.e_size
+        # flat rows immediately: (B, f, e)-shaped materializations tile-pad
+        # ~25x at venice scale (see explicit_schur.point_grid_flat)
+        a_flat = vpu_einsum("bmf,bme->bfe", Fs, E).reshape(-1, t * e)
+        cinv_flat = asm["cinv"].reshape(-1, e * e)
+        uniq = plan.correction_offdiag(a_flat, cinv_flat)
         s_mat = -plan.dense_s_offdiag(uniq)
         # diagonal blocks of the observation batch, incl. damping
         diag_blocks = self._schur_jacobi_blocks(asm, only_batch=bi)[0]
