@@ -937,7 +937,41 @@ class SchurSolver:
                     dx_f.astype(jnp.float64)
                 )
                 dx_f = dx_f + solve(r64.astype(s.dtype))
-            iters = jnp.ones((), dtype=jnp.int32)
+            # The f32 Cholesky can fail (NaN) when S is nearly singular at
+            # low damping — catastrophic cancellation in F^T F - W C^-1 W^T
+            # for well-observed cameras. The reference reports
+            # LinearSolverFailure and wastes the LM step; here PCG on the
+            # explicit S (a few dense GEMVs) recovers the step instead.
+            bad = ~jnp.all(jnp.isfinite(dx_f))
+            if len(self.ret_blocks) == 1:
+                # block-Jacobi preconditioner read off the explicit S
+                start, nb, t = self.ret_blocks[0]
+                blk = s.reshape(nb, t, nb, t)[
+                    jnp.arange(nb), :, jnp.arange(nb), :
+                ]
+                fb_precond = self._block_inverse_apply([blk])
+            else:
+                d_s = jnp.maximum(
+                    jnp.abs(jnp.diag(s)), jnp.finfo(s.dtype).tiny
+                )
+
+                def fb_precond(vv):
+                    return vv / d_s
+
+            def cg_fallback(_):
+                x, _it = preconditioned_conjugate_gradients(
+                    lambda vv: s @ vv,
+                    rhs,
+                    fb_precond,
+                    500,
+                    jnp.asarray(1e-8, dtype=s.dtype),
+                )
+                return x
+
+            dx_f = jax.lax.cond(
+                bad, cg_fallback, lambda _: dx_f, operand=None
+            )
+            iters = jnp.where(bad, 500, 1).astype(jnp.int32)
         else:
             s_explicit = None
             if self.use_explicit:

@@ -338,3 +338,45 @@ def test_iterative_explicit_schur_solves(dense_solution, small_bal):
     np.testing.assert_allclose(
         summary.final_cost, ref_summary.final_cost, rtol=1e-4
     )
+
+
+def test_dense_schur_factor_failure_cg_fallback(small_bal):
+    """A failed (NaN) Cholesky factorization must not produce an invalid
+    step: the DENSE_SCHUR path falls back to PCG on the explicit S and
+    returns the same solution (the reference wastes the LM step on
+    LinearSolverFailure; we recover it)."""
+    from skeres_tpu.core.evaluator import Evaluator
+    from skeres_tpu.core.schur import SchurSolver
+
+    problem, _, _ = build_bal_problem(small_bal)
+    program = problem.compile()
+    ev = Evaluator(program)
+    state = program.initial_state(ev.dtype)
+    _, blocks = jax.jit(ev.blocks)(state)
+    g, diag = jax.jit(ev.gradient_and_diag)(blocks)
+
+    ref_solver = SchurSolver(ev, iterative=False)
+    data = ref_solver.solver_data(blocks)
+    dx_ref, it_ref = jax.jit(
+        lambda: ref_solver.solve_damped(data, g, diag, 1e-3, 1e-6, 1e32)
+    )()
+    assert int(it_ref) == 1  # healthy factor path
+
+    broken = SchurSolver(ev, iterative=False)
+    orig = broken._factor_solve
+
+    def nan_factor(s, rhs):
+        dx, solve = orig(s, rhs)
+        return dx * jnp.nan, solve
+
+    import jax.numpy as jnp  # noqa: F811
+
+    broken._factor_solve = nan_factor
+    dx_cg, it_cg = jax.jit(
+        lambda: broken.solve_damped(data, g, diag, 1e-3, 1e-6, 1e32)
+    )()
+    assert int(it_cg) == 500  # fallback engaged
+    assert np.isfinite(np.asarray(dx_cg)).all()
+    np.testing.assert_allclose(
+        np.asarray(dx_cg), np.asarray(dx_ref), rtol=1e-4, atol=1e-7
+    )
