@@ -119,8 +119,8 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
                 dx = ev.tangent_diff(cand, state)
                 y = dx / scale
 
-            jtjdx = self._jtj_dx_ambient(data, dx, scale)
-            model_cost_change = -(jnp.dot(g, dx) + 0.5 * jnp.dot(dx, jtjdx))
+            dx_jtj_dx = self._model_quadratic(data, dx, scale)
+            model_cost_change = -(jnp.dot(g, dx) + 0.5 * dx_jtj_dx)
             step_norm = jnp.sqrt(jnp.sum(y * y))
 
             if self.inner_refiner is not None:

@@ -287,6 +287,14 @@ class TrustRegionMinimizer:
             return self.schur_solver.jtj_matvec(pdata, dx / scale) / scale
         return self._jtj_dx(pdata, None, dx)
 
+    def _model_quadratic(self, pdata, dx, scale):
+        """dx^T (J^T J) dx — the only JtJ quantity the model-cost needs.
+        The Schur path computes it as ||J_s (dx/scale)||^2 in one forward
+        pass (half the passes, none of the reduction gathers)."""
+        if self.schur_solver is not None:
+            return self.schur_solver.jtj_quadratic(pdata, dx / scale)
+        return jnp.dot(dx, self._jtj_dx(pdata, None, dx))
+
     def _jtj_scaled(self, pdata, u, scale):
         """(J S)^T (J S) u in scaled space."""
         if self.schur_solver is not None:
@@ -386,8 +394,8 @@ class TrustRegionMinimizer:
                 dx = ev.tangent_diff(new_state, state)
                 y = dx / scale
 
-            jtjdx = self._jtj_dx_ambient(data, dx, scale)
-            model_cost_change = -(jnp.dot(g, dx) + 0.5 * jnp.dot(dx, jtjdx))
+            dx_jtj_dx = self._model_quadratic(data, dx, scale)
+            model_cost_change = -(jnp.dot(g, dx) + 0.5 * dx_jtj_dx)
             step_norm = jnp.sqrt(jnp.sum(y * y))  # scaled-space norm (ref param_tol)
 
             if self.inner_refiner is not None:

@@ -1095,6 +1095,23 @@ class SchurSolver:
                 )
         return self._ret_assemble(accs)
 
+    def jtj_quadratic(self, data, v):
+        """Scalar quadratic form v^T (J^T J) v = ||J v||^2 in ONE forward
+        pass over the observations — the model-cost computation needs only
+        this scalar, and the reduction half of the full matvec (with its
+        observation-sized output gathers) is pure waste for it."""
+        pairs = (
+            [(r, jac) for (r, jac, _) in data["per_batch"]]
+            if isinstance(data, dict)
+            else data
+        )
+        total = jnp.zeros((), dtype=v.dtype)
+        for bi, (r, jac) in enumerate(pairs):
+            tidx = self.ev._batch_const[bi][2]
+            jv = vpu_einsum("bmi,bi->bm", jac, v[tidx])
+            total = total + jnp.sum(jv * jv)  # padded rows: zero jacs
+        return total
+
     def jtj_matvec(self, data, v):
         """Full-space (J^T J) v from the resident blocks (model cost).
         Accepts a ``prepare()`` dict (scaled: computes J_s^T J_s v) or raw
