@@ -456,6 +456,26 @@ class Evaluator:
             row0 += B * m
         return jd, rd
 
+    def v_rows(self, bi: int, v):
+        """Per-row tangent vectors (B, T) for batch ``bi``, built from
+        per-slot ROW gathers of the (n_blocks, t) group views. The naive
+        ``v[tangent_index]`` with a (B, T) index array is an ELEMENT
+        gather — T times the rows of the slot-wise form, and gathers on
+        this hardware are row-limited (~190M rows/s; BENCH_EXTRA r3)."""
+        batch = self.program.batches[bi]
+        _, idx, _, _, _ = self._batch_const[bi]
+        parts = []
+        for s, gi in enumerate(batch.slot_groups):
+            g = self.program.groups[gi]
+            o = self.program.tangent_offset[gi]
+            view = v[o : o + g.num_blocks * g.tangent_size].reshape(
+                g.num_blocks, g.tangent_size
+            )
+            parts.append(view[idx[s]])
+        return (
+            jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        )
+
     def jtj_matvec(self, blocks: Sequence[BatchBlocks], v):
         """v -> J^T (J v) without forming J^T J (CGNR hot path).
         Gather on the way in, planned segment-reduce on the way out."""
@@ -465,7 +485,7 @@ class Evaluator:
         ]
         for bi, b in enumerate(blocks):
             batch = self.program.batches[bi]
-            jv = vpu_einsum("bmi,bi->bm", b.jac, v[b.idx])
+            jv = vpu_einsum("bmi,bi->bm", b.jac, self.v_rows(bi, v))
             jtv = vpu_einsum("bmi,bm->bi", b.jac, jv)  # (B, T)
             for s, gi in enumerate(batch.slot_groups):
                 c, t = self._slot_cols[bi][s]

@@ -242,8 +242,8 @@ class TrustRegionMinimizer:
 
             def matvec(v):
                 out = d * v
-                for r, jac, idx in data:
-                    jv = vpu_einsum("bmi,bi->bm", jac, v[idx])
+                for bi, (r, jac, idx) in enumerate(data):
+                    jv = vpu_einsum("bmi,bi->bm", jac, self.ev.v_rows(bi, v))
                     out = out.at[idx].add(vpu_einsum("bmi,bm->bi", jac, jv))
                 return out
 
@@ -623,7 +623,10 @@ class TrustRegionMinimizer:
             j_dense, r_dense = data
             return (j_dense * scale[None, :], r_dense)
         if st == LinearSolverType.CGNR:
-            return tuple((r, jac * scale[idx][:, None, :], idx) for r, jac, idx in data)
+            return tuple(
+                (r, jac * self.ev.v_rows(bi, scale)[:, None, :], idx)
+                for bi, (r, jac, idx) in enumerate(data)
+            )
         if st in (LinearSolverType.DENSE_SCHUR, LinearSolverType.ITERATIVE_SCHUR):
             return self.schur_solver.scale_data(data, scale)
         raise NotImplementedError(st)

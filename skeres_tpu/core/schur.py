@@ -395,9 +395,10 @@ class SchurSolver:
 
     def scale_data(self, data, scale):
         out = []
-        for (r, jac), const in zip(data, self.ev._batch_const):
-            tidx = const[2]
-            out.append((r, jac * scale[tidx][:, None, :]))
+        for bi, (r, jac) in enumerate(data):
+            # per-slot row gathers, NOT scale[tidx] — the (B, T) tangent
+            # index form is an element gather (T x the rows; row-limited)
+            out.append((r, jac * self.ev.v_rows(bi, scale)[:, None, :]))
         return tuple(out)
 
     # -- retained-space helpers ----------------------------------------------------
@@ -1107,8 +1108,7 @@ class SchurSolver:
         )
         total = jnp.zeros((), dtype=v.dtype)
         for bi, (r, jac) in enumerate(pairs):
-            tidx = self.ev._batch_const[bi][2]
-            jv = vpu_einsum("bmi,bi->bm", jac, v[tidx])
+            jv = vpu_einsum("bmi,bi->bm", jac, self.ev.v_rows(bi, v))
             total = total + jnp.sum(jv * jv)  # padded rows: zero jacs
         return total
 
