@@ -946,11 +946,9 @@ class SchurSolver:
             bad = ~jnp.all(jnp.isfinite(dx_f))
             if len(self.ret_blocks) == 1:
                 # block-Jacobi preconditioner read off the explicit S
-                start, nb, t = self.ret_blocks[0]
-                blk = s.reshape(nb, t, nb, t)[
-                    jnp.arange(nb), :, jnp.arange(nb), :
-                ]
-                fb_precond = self._block_inverse_apply([blk])
+                fb_precond = self._block_inverse_apply(
+                    [self._diag_blocks_of(s)]
+                )
             else:
                 d_s = jnp.maximum(
                     jnp.abs(jnp.diag(s)), jnp.finfo(s.dtype).tiny
@@ -998,13 +996,9 @@ class SchurSolver:
                 and len(self.ret_blocks) == 1
             ):
                 # block diagonal read straight off the explicit S
-                start, nb, t = self.ret_blocks[0]
-                blocks = [
-                    s_explicit.reshape(nb, t, nb, t)[
-                        jnp.arange(nb), :, jnp.arange(nb), :
-                    ]
-                ]
-                precond = self._block_inverse_apply(blocks)
+                precond = self._block_inverse_apply(
+                    [self._diag_blocks_of(s_explicit)]
+                )
 
             elif self.preconditioner == PreconditionerType.SCHUR_JACOBI:
                 blocks = self._schur_jacobi_blocks(asm)
@@ -1071,6 +1065,19 @@ class SchurSolver:
             self.elim_offset + jnp.arange(self.elim_span)
         ].set(dx_e.reshape(-1))
         return dx, iters
+
+    def _diag_blocks_of(self, s):
+        """(nb, t, t) diagonal blocks of a dense (nb*t, nb*t) matrix
+        WITHOUT the (nb, t, nb, t) reshape — that 4D form tile-pads 14x
+        (13.6 GB at venice). 2D-safe: view rows as (nb, t, nb*t) (wide
+        last dim) and dynamic-slice each block's columns."""
+        start, nb, t = self.ret_blocks[0]
+        s3 = s.reshape(nb, t, nb * t)
+
+        def get(ci):
+            return jax.lax.dynamic_slice(s3[ci], (0, ci * t), (t, t))
+
+        return jax.vmap(get)(jnp.arange(nb))
 
     def _block_inverse_apply(self, blocks):
         """v -> blockdiag(blocks)^{-1} v over the retained coordinates."""
