@@ -1067,17 +1067,18 @@ class SchurSolver:
         return dx, iters
 
     def _diag_blocks_of(self, s):
-        """(nb, t, t) diagonal blocks of a dense (nb*t, nb*t) matrix
-        WITHOUT the (nb, t, nb, t) reshape — that 4D form tile-pads 14x
-        (13.6 GB at venice). 2D-safe: view rows as (nb, t, nb*t) (wide
-        last dim) and dynamic-slice each block's columns."""
+        """(nb, t, t) diagonal blocks of a dense (nb*t, nb*t) matrix.
+        Neither the (nb, t, nb, t) reshape nor a vmapped row slice is
+        safe — XLA materializes both with a 14x tile-padded layout
+        (13.6 GB at venice). One flat element-gather with a static index
+        (nb*t*t = 144k elements) has no such intermediate."""
         start, nb, t = self.ret_blocks[0]
-        s3 = s.reshape(nb, t, nb * t)
-
-        def get(ci):
-            return jax.lax.dynamic_slice(s3[ci], (0, ci * t), (t, t))
-
-        return jax.vmap(get)(jnp.arange(nb))
+        n = nb * t
+        ci = jnp.arange(nb)[:, None, None]
+        i = jnp.arange(t)[None, :, None]
+        j = jnp.arange(t)[None, None, :]
+        idx = ((ci * t + i) * n + ci * t + j).reshape(nb, t * t)
+        return s.reshape(-1)[idx].reshape(nb, t, t)
 
     def _block_inverse_apply(self, blocks):
         """v -> blockdiag(blocks)^{-1} v over the retained coordinates."""
