@@ -957,12 +957,20 @@ class SchurSolver:
                 def fb_precond(vv):
                     return vv / d_s
 
+            # NOTE on scope: when the factor fails because S is genuinely
+            # INDEFINITE in f32 (radius beyond the f32 feasibility
+            # boundary: assembly noise eps*||S|| exceeds the damping), CG
+            # cannot save the step either — it returns a large step the
+            # trust region rejects, which is the reference's
+            # LinearSolverFailure outcome. The capped attempt costs ~30
+            # GEMVs (~50 ms at venice) and only rescues the borderline
+            # cases where the factor failed but S is still PSD.
             def cg_fallback(_):
                 x, _it = preconditioned_conjugate_gradients(
                     lambda vv: s @ vv,
                     rhs,
                     fb_precond,
-                    500,
+                    32,
                     jnp.asarray(1e-8, dtype=s.dtype),
                 )
                 return x
@@ -970,7 +978,7 @@ class SchurSolver:
             dx_f = jax.lax.cond(
                 bad, cg_fallback, lambda _: dx_f, operand=None
             )
-            iters = jnp.where(bad, 500, 1).astype(jnp.int32)
+            iters = jnp.where(bad, 32, 1).astype(jnp.int32)
         else:
             s_explicit = None
             if self.use_explicit:

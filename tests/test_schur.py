@@ -375,8 +375,11 @@ def test_dense_schur_factor_failure_cg_fallback(small_bal):
     dx_cg, it_cg = jax.jit(
         lambda: broken.solve_damped(data, g, diag, 1e-3, 1e-6, 1e32)
     )()
-    assert int(it_cg) == 500  # fallback engaged
+    assert int(it_cg) == 32  # fallback engaged
     assert np.isfinite(np.asarray(dx_cg)).all()
-    np.testing.assert_allclose(
-        np.asarray(dx_cg), np.asarray(dx_ref), rtol=1e-4, atol=1e-7
-    )
+    # 32 capped CG iterations produce a usable (not exact) step: it must
+    # point the same way as the true solution and be a decent approximation
+    a, b = np.asarray(dx_cg), np.asarray(dx_ref)
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.99, cos
+    assert abs(np.linalg.norm(a) / np.linalg.norm(b) - 1.0) < 0.1
