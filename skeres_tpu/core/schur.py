@@ -930,11 +930,20 @@ class SchurSolver:
 
         if not self.iterative:
             s = self._dense_s(asm)
-            dx_f, solve = self._factor_solve(s, rhs)
+            # symmetric equilibration: factor D^-1/2 S D^-1/2 (pivots ~1)
+            # instead of S — mathematically the same solve, but in f32 it
+            # moves the feasibility boundary (where assembly noise makes S
+            # numerically indefinite) out by orders of magnitude
+            d_eq = jnp.sqrt(
+                jnp.maximum(jnp.diag(s), jnp.finfo(s.dtype).tiny)
+            )
+            s = s / d_eq[:, None] / d_eq[None, :]
+            rhs_eq = rhs / d_eq
+            dx_f, solve = self._factor_solve(s, rhs_eq)
             # mixed-precision iterative refinement on the reduced camera
             # system (reference: use_mixed_precision_solves)
             for _ in range(self.refinement_iterations):
-                r64 = rhs.astype(jnp.float64) - s.astype(jnp.float64) @ (
+                r64 = rhs_eq.astype(jnp.float64) - s.astype(jnp.float64) @ (
                     dx_f.astype(jnp.float64)
                 )
                 dx_f = dx_f + solve(r64.astype(s.dtype))
@@ -968,7 +977,7 @@ class SchurSolver:
             def cg_fallback(_):
                 x, _it = preconditioned_conjugate_gradients(
                     lambda vv: s @ vv,
-                    rhs,
+                    rhs_eq,
                     fb_precond,
                     32,
                     jnp.asarray(1e-8, dtype=s.dtype),
@@ -978,6 +987,7 @@ class SchurSolver:
             dx_f = jax.lax.cond(
                 bad, cg_fallback, lambda _: dx_f, operand=None
             )
+            dx_f = dx_f / d_eq  # undo the equilibration
             iters = jnp.where(bad, 32, 1).astype(jnp.int32)
         else:
             s_explicit = None
