@@ -505,11 +505,19 @@ class SchurSolver:
     def _sorted_cam_jac(self, bi, jac):
         """Camera-padded copy of a batch Jacobian: (nc*K, m, T) locally, or
         (ns, nc*K, m, T) row-sharded under a mesh — built inside shard_map
-        so the placement gather stays shard-local (no allgather)."""
+        so the placement gather stays shard-local (no allgather).
+
+        The gather runs on the FLAT (rows, m*T) view: gathering
+        (rows, m, T) directly lets XLA pick a tile-padded 3D layout for
+        the result (tiny trailing dims), turning a ~40 ms row-limited
+        gather into a >1 s relayout at venice scale."""
         sinfo = self.sorted_info[bi]
         if sinfo["kind"] == "local":
-            zero_row = jnp.zeros((1,) + jac.shape[1:], jac.dtype)
-            return jnp.concatenate([jac, zero_row])[sinfo["src"]]
+            b, m, t = jac.shape
+            flat = jac.reshape(b, m * t)
+            zero_row = jnp.zeros((1, m * t), jac.dtype)
+            out = jnp.concatenate([flat, zero_row])[sinfo["src"]]
+            return out.reshape(-1, m, t)
         from jax.sharding import PartitionSpec as P
 
         mesh = self.ev.mesh
