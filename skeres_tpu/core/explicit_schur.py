@@ -38,7 +38,7 @@ import numpy as np
 
 from skeres_tpu.ops.small_einsum import vpu_einsum
 
-__all__ = ["ExplicitSchurPlan", "build_explicit_schur_plan"]
+__all__ = ["ExplicitSchurPlan"]
 
 
 class _SumLevel(NamedTuple):
