@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--preconditioner", default="SCHUR_JACOBI")
     ap.add_argument("--explicit_schur", action="store_true",
                     help="use_explicit_schur_complement (ITERATIVE_SCHUR)")
+    ap.add_argument("--function_tolerance", type=float, default=0.0,
+                    help="nonzero: run to convergence instead of the fixed "
+                         "step budget")
     args = ap.parse_args()
 
     import jax
@@ -80,7 +83,7 @@ def main():
         max_linear_solver_iterations=args.max_cg_iterations,
         use_device_loop=args.device_loop,
         device_loop_chunk_iterations=args.iters,
-        function_tolerance=0.0,
+        function_tolerance=args.function_tolerance,
         gradient_tolerance=0.0,
         parameter_tolerance=0.0,
         use_explicit_schur_complement=args.explicit_schur,
