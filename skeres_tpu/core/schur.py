@@ -852,11 +852,21 @@ class SchurSolver:
         info = self.batch_info[bi]
         r, jac, E = asm["per_batch"][bi]
         s, gi, c, t = info["ret_slots"][0]
-        Fs = jac[:, :, c : c + t]
         e = self.e_size
-        # flat rows immediately: (B, f, e)-shaped materializations tile-pad
-        # ~25x at venice scale (see explicit_schur.point_grid_flat)
-        a_flat = vpu_einsum("bmf,bme->bfe", Fs, E).reshape(-1, t * e)
+        ec, et = info["e_col"]
+        # Fully-2D construction of the flat per-row A = F^T E rows:
+        # a_flat[b, f*e + g] = sum_m F[b,m,f] E[b,m,g]. The einsum form
+        # produces a (B, f, e) value whose materialization tile-pads ~26x
+        # (41 GB at venice) whenever XLA declines to fuse the trailing
+        # reshape — observed to depend on the surrounding program. Per-m
+        # repeat/tile keeps every value 2D with a wide last dim.
+        m_res = jac.shape[1]
+        a_flat = None
+        for m in range(m_res):
+            f_m = jac[:, m, c : c + t]  # (B, t)
+            e_m = jac[:, m, ec : ec + et]  # (B, e)
+            term = jnp.repeat(f_m, e, axis=1) * jnp.tile(e_m, (1, t))
+            a_flat = term if a_flat is None else a_flat + term
         cinv_flat = asm["cinv"].reshape(-1, e * e)
         uniq = plan.correction_offdiag(a_flat, cinv_flat)
         s_mat = -plan.dense_s_offdiag(uniq)
