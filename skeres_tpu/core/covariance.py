@@ -14,7 +14,7 @@ through the manifold plus-Jacobians exactly like the reference's
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

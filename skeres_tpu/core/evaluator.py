@@ -18,7 +18,6 @@ wrapped in ``jax.jit`` (the Minimizer does this).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax

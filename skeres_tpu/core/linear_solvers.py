@@ -23,7 +23,6 @@ LINEAR_SOLVER_FAILURE).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -24,7 +24,7 @@ those constants are what make iteration counts comparable.
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, List, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

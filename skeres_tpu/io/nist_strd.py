@@ -25,7 +25,7 @@ Data provenance (zero-egress environment, DRIVER_REQUESTS.md):
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence
 
 import jax.numpy as jnp
