@@ -159,11 +159,32 @@ class Covariance:
         zeros = jnp.zeros((n,), ev.dtype)
 
         def build_s(d):
-            asm = schur._assemble(d, zeros, zeros)  # undamped: pure J^T J
-            return schur._dense_s(asm), asm["cinv"]
+            prep = schur.prepare(d)
+            asm = schur._assemble(prep, zeros, zeros)  # undamped: pure J^T J
+            return schur._dense_s(asm), asm["cinv"], prep["ete0"]
 
-        s_mat, cinv = jax.jit(build_s)(data)
+        s_mat, cinv, ete = jax.jit(build_s)(data)
         s_mat = np.asarray(s_mat, dtype=np.float64)
+        cinv_np = np.asarray(cinv, dtype=np.float64)
+        # rank-deficiency guard (reference: Covariance::Compute returns
+        # false): a singular per-point block C_p (a point with too few
+        # observations, masked columns, or degenerate geometry) makes the
+        # closed-form cofactor inverse non-finite — or, after working-dtype
+        # rounding, huge-but-finite garbage — which would crash the SVD
+        # below or poison point-block queries. Detect both and fail
+        # cleanly: eigenvalues of the undamped C = E^T E per point, with a
+        # threshold no tighter than the working dtype's resolution (a true
+        # zero eigenvalue computed in f32 shows up as ~eps_f32 * max_eig).
+        if not (np.isfinite(s_mat).all() and np.isfinite(cinv_np).all()):
+            return False
+        ete_np = np.asarray(ete, dtype=np.float64)
+        eigs = np.linalg.eigvalsh(ete_np)  # (P, e), ascending
+        eps_work = float(np.finfo(np.asarray(cinv).dtype).eps)
+        rcond_min = max(
+            self.options.min_reciprocal_condition_number, 100.0 * eps_work
+        )
+        if (eigs[:, 0] <= rcond_min * np.maximum(eigs[:, -1], 0.0)).any():
+            return False
 
         # restrict to free retained coordinates (constant camera blocks
         # have zeroed Jacobian columns -> zero rows/cols in S)
@@ -177,7 +198,7 @@ class Covariance:
         s_inv[np.ix_(idx, idx)] = s_inv_free
 
         self._s_inv = s_inv
-        self._cinv = np.asarray(cinv, dtype=np.float64)
+        self._cinv = cinv_np
         self._schur = schur
         self._ev = ev
         # host copies of the corrected Jacobian blocks for W_p queries

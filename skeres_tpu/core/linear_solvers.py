@@ -148,7 +148,12 @@ def preconditioned_conjugate_gradients(
             zeta = (i + 1).astype(q.dtype) * (q - q_prev) / jnp.where(
                 q != 0.0, q, jnp.ones_like(q)
             )
-            q_stop = (q != 0.0) & (zeta < q_tolerance)
+            # the reference enables the Nash-Sofer test only for
+            # q_tolerance > 0 (per_solve_options.q_tolerance > 0); without
+            # the guard, floating-point non-monotonicity of Q near
+            # convergence makes zeta negative and stops CG early even when
+            # the caller asked for a fixed iteration count (eta = 0)
+            q_stop = (q_tolerance > 0.0) & (q != 0.0) & (zeta < q_tolerance)
         else:
             q = q_prev
             q_stop = jnp.asarray(False)

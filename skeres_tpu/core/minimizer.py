@@ -281,12 +281,6 @@ class TrustRegionMinimizer:
             self._scale_data(pdata, scale), gs, diag_s, radius
         )
 
-    def _jtj_dx_ambient(self, pdata, dx, scale):
-        """(J^T J) dx given possibly-scaled prep: J^T J = S^-1 J_s^T J_s S^-1."""
-        if self.schur_solver is not None:
-            return self.schur_solver.jtj_matvec(pdata, dx / scale) / scale
-        return self._jtj_dx(pdata, None, dx)
-
     def _model_quadratic(self, pdata, dx, scale):
         """dx^T (J^T J) dx — the only JtJ quantity the model-cost needs.
         The Schur path computes it as ||J_s (dx/scale)||^2 in one forward

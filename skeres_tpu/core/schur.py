@@ -379,6 +379,7 @@ class SchurSolver:
                         f_size=f_size,
                         e_size=self.e_size,
                         n_valid=b.num_blocks,
+                        pad_waste=pad_waste,
                     )
                 except ValueError:
                     self.explicit_plan = None  # point-degree skew too high

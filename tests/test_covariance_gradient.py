@@ -146,6 +146,28 @@ def test_covariance_schur_complement_matches_dense_svd():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-9)
 
 
+def test_covariance_schur_singular_point_block_returns_false():
+    """A point with a single 2D observation makes its C_p = E_p^T E_p
+    (3x3) rank-2; the closed-form cofactor inverse is then non-finite and
+    SCHUR_COMPLEMENT compute() must return False cleanly (reference:
+    Covariance::Compute returning false on rank deficiency), not crash in
+    the SVD or hand back garbage point blocks."""
+    from skeres_tpu.core.types import CovarianceAlgorithmType
+    from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+    bal = synthetic_bal(num_cameras=4, num_points=12, observations_per_point=1)
+    problem, cameras, points = build_bal_problem(bal)
+    problem.set_parameter_block_constant(cameras[0])
+    problem.set_parameter_block_constant(cameras[1])
+
+    schur = Covariance(
+        CovarianceOptions(
+            algorithm_type=CovarianceAlgorithmType.SCHUR_COMPLEMENT
+        )
+    )
+    assert schur.compute(problem) is False
+
+
 def test_covariance_apply_loss_function_false():
     """apply_loss_function=False (reference: covariance.h) must evaluate
     the covariance from the UNWEIGHTED Jacobians: with a robust loss on
