@@ -62,11 +62,20 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
         self.chunk_iterations = int(chunk_iterations)
         self._build_device_loop()
 
-    def _linearize_parts(self, state):
+    def _linearize_parts(self, state, scale_prev=None):
         ev = self.ev
+        o = self.options
         cost, blocks = ev.blocks(state)
         g, diag = ev.gradient_and_diag(blocks)
-        scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
+        # the effective scale must be the one the prep below uses —
+        # deciding it here (rather than patching the loop carry after the
+        # fact) keeps the Schur solver's pre-scaled data consistent
+        if not o.jacobi_scaling:
+            scale = jnp.ones_like(diag)
+        elif scale_prev is not None and not o.refresh_jacobi_scaling:
+            scale = scale_prev  # reference iteration-zero pinning
+        else:
+            scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
         # Schur path: scaled + prepared once per linearization; the loop
         # body's re-solves (rejected steps) reuse it
         data = self._prep_data(blocks, scale)
@@ -160,7 +169,7 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
 
             # -- accept: state update + relinearize under cond -------------
             def relinearize(_):
-                c2, g2, d2, data2, s2 = self._linearize_parts(cand)
+                c2, g2, d2, data2, s2 = self._linearize_parts(cand, scale)
                 return cand, c2, g2, d2, data2, s2
 
             def keep(_):
@@ -169,8 +178,6 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
             state2, cost2, g2, diag2, data2, scale2 = jax.lax.cond(
                 accepted, relinearize, keep, operand=None
             )
-            if not o.jacobi_scaling:
-                scale2 = scale
 
             # -- convergence tests ----------------------------------------
             g_max = jnp.max(jnp.abs(g2))
@@ -459,4 +466,7 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
             ),
         }
         s.termination_type, s.message = messages[term_code]
+        # the device loop is monotonic, so the carried state is the best
+        # iterate and its cost is final_cost (reference semantics)
+        s.final_cost = float(jax.device_get(cost)) + s.fixed_cost
         return state

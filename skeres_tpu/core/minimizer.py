@@ -322,19 +322,28 @@ class TrustRegionMinimizer:
             o.trust_region_strategy_type == TrustRegionStrategyType.DOGLEG
         )
 
-        def linearize(state, consts):
+        def linearize(state, consts, scale_prev, use_prev):
             # consts: ev.device_consts — passed as an argument (not closed
             # over) so the programs work under jax.distributed, where jit
             # may not capture globally-sharded arrays
             with ev.bind(consts):
-                return _linearize(state)
+                return _linearize(state, scale_prev, use_prev)
 
-        def _linearize(state):
+        def _linearize(state, scale_prev, use_prev):
             cost, blocks = ev.blocks(state)
             g, diag = ev.gradient_and_diag(blocks)
-            # Jacobi column scaling (reference: iteration-zero
-            # jacobian_scaling_ = 1 / (1 + sqrt(squared column norms)))
-            scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
+            # Jacobi column scaling (reference:
+            # jacobian_scaling_ = 1 / (1 + sqrt(squared column norms)),
+            # computed at iteration zero). ``use_prev`` (device bool) keeps
+            # the caller-supplied previous scale instead — the
+            # refresh_jacobi_scaling=False reference-pinning path — so the
+            # prep below is always consistent with the scale the damped
+            # solve will use, with no recompilation.
+            if not o.jacobi_scaling:
+                scale = jnp.ones_like(diag)
+            else:
+                scale_fresh = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
+                scale = jnp.where(use_prev, scale_prev, scale_fresh)
             # Schur path: scaled + prepared ONCE here; re-solves after
             # rejected steps reuse it (see _prep_data)
             data = self._prep_data(blocks, scale)
@@ -414,8 +423,12 @@ class TrustRegionMinimizer:
         self._linearize_jit = jax.jit(linearize)
         self._solve_step_jit = jax.jit(solve_step)
         self._try_step_jit = jax.jit(try_step)
-        self.linearize = lambda state: self._linearize_jit(
-            state, ev.device_consts
+        self._zero_scale = jnp.zeros((ev.num_tangent,), dtype=dtype)
+        self.linearize = lambda state, scale_prev=None: self._linearize_jit(
+            state,
+            ev.device_consts,
+            self._zero_scale if scale_prev is None else scale_prev,
+            jnp.asarray(scale_prev is not None),
         )
         self.solve_step = lambda state, data, g, diag, scale, radius, *gn: (
             self._solve_step_jit(
@@ -439,10 +452,18 @@ class TrustRegionMinimizer:
         dtype = self.ev.dtype
         ev = self.ev
         consts = ev.device_consts
-        out = jax.eval_shape(self._linearize_jit, state, consts)
-        self._linearize_jit = self._linearize_jit.lower(state, consts).compile()
-        self.linearize = lambda state: self._linearize_jit(
-            state, ev.device_consts
+        flag = jnp.asarray(False)
+        out = jax.eval_shape(
+            self._linearize_jit, state, consts, self._zero_scale, flag
+        )
+        self._linearize_jit = self._linearize_jit.lower(
+            state, consts, self._zero_scale, flag
+        ).compile()
+        self.linearize = lambda state, scale_prev=None: self._linearize_jit(
+            state,
+            ev.device_consts,
+            self._zero_scale if scale_prev is None else scale_prev,
+            jnp.asarray(scale_prev is not None),
         )
         cost_s, g_s, diag_s, data_s, scale_s, _gm, _gn, *gn_s = out
         state_s = jax.tree_util.tree_map(
@@ -628,6 +649,33 @@ class TrustRegionMinimizer:
     # -- the outer loop ---------------------------------------------------------
 
     def minimize(self, state):
+        """Run the trust-region loop; returns the best iterate seen.
+
+        Reference semantics (``trust_region_minimizer.cc``): with
+        ``use_nonmonotonic_steps`` the loop may accept cost-increasing
+        steps, but the PARAMETERS returned correspond to the minimum cost
+        over all iterations, and ``Summary.final_cost`` is the cost of
+        those returned parameters (not a min over candidate costs, which
+        can belong to rejected steps)."""
+        self._best_cost = float("inf")
+        self._best_state = None
+        self._current_cost = float("inf")
+        out = self._minimize_loop(state)
+        s = self.summary
+        if self._best_state is not None and self._best_cost < self._current_cost:
+            out = self._best_state
+            s.final_cost = self._best_cost + s.fixed_cost
+        elif np.isfinite(self._current_cost):
+            s.final_cost = self._current_cost + s.fixed_cost
+        return out
+
+    def _track_iterate(self, state, cost: float):
+        self._current_cost = cost
+        if cost < self._best_cost:
+            self._best_cost = cost
+            self._best_state = state
+
+    def _minimize_loop(self, state):
         o = self.options
         s = self.summary
         start = time.time()
@@ -653,6 +701,7 @@ class TrustRegionMinimizer:
             s.message = "Initial cost evaluation produced non-finite values."
             return state
         s.initial_cost = cost + s.fixed_cost
+        self._track_iterate(state, cost)
 
         step_evaluator = TrustRegionStepEvaluator(
             cost,
@@ -791,26 +840,32 @@ class TrustRegionMinimizer:
 
                 t0 = time.time()
                 self._prepare_for_evaluation(True, False)
+                # refresh_jacobi_scaling=True (default, TPU deviation):
+                # recompute the column scaling at each accepted step;
+                # False pins the iteration-zero scaling exactly like the
+                # reference — the pinned scale is passed back in so the
+                # device-side prep stays consistent with it
+                pinned = (
+                    self.options.jacobi_scaling
+                    and not self.options.refresh_jacobi_scaling
+                )
                 (
                     cost_d,
                     g,
                     diag,
                     data,
-                    scale_new,
+                    scale,
                     g_max_norm,
                     g_norm,
                     *gn,
-                ) = self.linearize(state)
+                ) = self.linearize(state, scale if pinned else None)
                 cost, gmax_f, gnorm_f = (
                     float(v)
                     for v in jax.device_get((cost_d, g_max_norm, g_norm))
                 )
                 s.jacobian_evaluation_time_in_seconds += time.time() - t0
                 s.num_jacobian_evaluations += 1
-                if self.options.jacobi_scaling:
-                    # reference keeps iteration-zero scaling; we refresh it each
-                    # accepted step (pure improvement, still recompile-free)
-                    scale = scale_new
+                self._track_iterate(state, cost)
 
                 it.gradient_max_norm = gmax_f
                 it.gradient_norm = gnorm_f

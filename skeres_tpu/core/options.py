@@ -60,6 +60,12 @@ class SolverOptions:
     use_nonmonotonic_steps: bool = False
     max_consecutive_nonmonotonic_steps: int = 5
     jacobi_scaling: bool = True
+    # TPU deviation knob: the reference computes the Jacobi column scaling
+    # ONCE at iteration zero and keeps it for the whole solve
+    # (trust_region_preprocessor.cc); this build refreshes it at every
+    # accepted step by default (recompile-free here, impossible there).
+    # False restores the reference's iteration-zero pinning exactly.
+    refresh_jacobi_scaling: bool = True
 
     # -- convergence tolerances ----------------------------------------------
     function_tolerance: float = 1e-6

@@ -241,7 +241,11 @@ def solve(
     # -- postprocess -------------------------------------------------------------
     t0 = time.time()
     program.write_back(state)
-    if summary.iterations:
+    # the minimizer sets final_cost to the cost of the parameters it
+    # returned (reference semantics — a min over iteration rows could pick
+    # a REJECTED candidate's cost); the row-min is only a fallback for
+    # minimizers that don't track it
+    if summary.final_cost < 0.0 and summary.iterations:
         summary.final_cost = min(it.cost for it in summary.iterations)
     summary.postprocessor_time_in_seconds = time.time() - t0
     summary.total_time_in_seconds = time.time() - total_start

@@ -356,3 +356,99 @@ def test_residual_eval_time_populated():
     problem, summary, _ = _solve_powell(LinearSolverType.DENSE_QR)
     assert summary.num_residual_evaluations > 0
     assert summary.residual_evaluation_time_in_seconds > 0.0
+
+
+def test_nonmonotonic_steps_return_best_iterate():
+    """With use_nonmonotonic_steps the loop may accept cost-increasing
+    steps, but the returned parameters must correspond to the minimum cost
+    seen and final_cost must be the cost of those returned parameters
+    (reference: trust_region_minimizer.cc / solver.h
+    use_nonmonotonic_steps)."""
+    import jax.numpy as jnp
+
+    problem = st.Problem()
+    xy = problem.add_parameter_block([-1.2, 1.0])
+
+    def resid(params, data):
+        (p,) = params
+        return jnp.stack([10.0 * (p[1] - p[0] ** 2), 1.0 - p[0]])
+
+    problem.add_residual_block(resid, None, [xy])
+    costs = []
+
+    def cb(it):
+        costs.append((it.cost, it.step_is_successful))
+
+    summary = st.solve(
+        SolverOptions(
+            use_nonmonotonic_steps=True,
+            initial_trust_region_radius=1e8,
+            max_num_iterations=12,
+            callbacks=[cb],
+        ),
+        problem,
+    )
+    accepted = [c for c, ok in costs if ok]
+    # the crafted radius makes the accepted trajectory genuinely
+    # non-monotonic (it ends on a worse iterate than it found); if a future
+    # change makes this monotonic the test is vacuous — fail loudly so the
+    # fixture gets re-tuned instead of silently passing
+    assert any(b > a for a, b in zip(accepted, accepted[1:])), accepted
+    # returned parameters == best accepted iterate
+    np.testing.assert_allclose(summary.final_cost, min(accepted), rtol=1e-6)
+    # final_cost == cost of the parameters actually written back
+    np.testing.assert_allclose(
+        problem.evaluate(), summary.final_cost, rtol=1e-6
+    )
+
+
+def test_final_cost_is_cost_of_returned_parameters():
+    """final_cost must never report a rejected candidate's cost: after any
+    solve, evaluating the problem at the written-back parameters must
+    reproduce final_cost exactly."""
+    problem, summary, _ = _solve_powell(LinearSolverType.DENSE_QR)
+    np.testing.assert_allclose(
+        problem.evaluate(), summary.final_cost, rtol=1e-6, atol=1e-18
+    )
+
+
+def test_pinned_and_disabled_jacobi_scaling():
+    """refresh_jacobi_scaling=False pins the iteration-zero column scaling
+    (the reference's exact behavior); jacobi_scaling=False disables scaling
+    entirely. Both must stay consistent with the Schur solver's pre-scaled
+    prep (regression: the host kept a stale scale while the prep used a
+    fresh one) and converge to the same solution as the default."""
+    from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+    finals = {}
+    for name, kw in [
+        ("default", {}),
+        ("pinned", dict(refresh_jacobi_scaling=False)),
+        ("unscaled", dict(jacobi_scaling=False)),
+    ]:
+        bal = synthetic_bal(
+            num_cameras=4, num_points=40, observations_per_point=4
+        )
+        problem, _, _ = build_bal_problem(bal)
+        s = st.solve(
+            SolverOptions(
+                linear_solver_type=LinearSolverType.DENSE_SCHUR,
+                max_num_iterations=30,
+                **kw,
+            ),
+            problem,
+        )
+        assert s.termination_type == TerminationType.CONVERGENCE, (
+            name,
+            s.message,
+        )
+        finals[name] = s.final_cost
+        np.testing.assert_allclose(
+            problem.evaluate(), s.final_cost, rtol=1e-5,
+            err_msg=name,
+        )
+    base = finals["default"]
+    for name, v in finals.items():
+        np.testing.assert_allclose(
+            v, base, rtol=1e-3, atol=1e-8, err_msg=name
+        )
