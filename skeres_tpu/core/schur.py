@@ -99,6 +99,7 @@ class SchurSolver:
         pad_waste: float = 1.5,
         use_explicit: bool = False,
         explicit_s_limit_bytes: int = 2 << 30,
+        pair_cap: int = 32,
     ):
         self.ev = evaluator
         self.iterative = iterative
@@ -350,9 +351,6 @@ class SchurSolver:
             and len(self.ret_blocks) == 1
             and len(self.batch_info[self.e_batch]["ret_slots"]) == 1
             and (not iterative or use_explicit)
-            # single-device only: the hierarchical pair gathers are global;
-            # under a mesh the implicit sharded matvec path applies
-            and evaluator.mesh is None
         ):
             bi = self.e_batch
             b = program.batches[bi]
@@ -367,6 +365,9 @@ class SchurSolver:
 
                 e_slot = b.slot_groups.index(self.elim_group)
                 try:
+                    # under a mesh the plan shards itself: per-shard pair
+                    # products + hierarchical partial sums + ONE psum over
+                    # the unique-pair table (SURVEY §3.8 "psum(S)")
                     self.explicit_plan = ExplicitSchurPlan(
                         cam_idx=evaluator._batch_idx_np[bi][s].astype(
                             np.int64
@@ -380,6 +381,9 @@ class SchurSolver:
                         e_size=self.e_size,
                         n_valid=b.num_blocks,
                         pad_waste=pad_waste,
+                        pair_cap=pair_cap,
+                        mesh=evaluator.mesh,
+                        n_shards=evaluator._n_shards,
                     )
                 except ValueError:
                     self.explicit_plan = None  # point-degree skew too high
@@ -473,7 +477,37 @@ class SchurSolver:
         cam = {}
         for bi in self.sorted_info:
             cam[bi] = self._sorted_cam_jac(bi, per_batch[bi][1])
-        return dict(per_batch=per_batch, cam=cam, ete0=ete0)
+        prep = dict(per_batch=per_batch, cam=cam, ete0=ete0)
+        if self.explicit_plan is not None:
+            # hoisted mu-independent half of explicit-S assembly: the flat
+            # A = F^T E rows and their point grid(s). Rejected-step
+            # re-solves (new mu, same linearization) then pay only the
+            # cinv-dependent pair contraction.
+            prep["explicit_grid"] = self.explicit_plan.build_grid(
+                self._explicit_a_flat(per_batch)
+            )
+        return prep
+
+    def _explicit_a_flat(self, per_batch):
+        """Fully-2D construction of the flat per-row A = F^T E rows:
+        a_flat[b, f*e + g] = sum_m F[b,m,f] E[b,m,g]. The einsum form
+        produces a (B, f, e) value whose materialization tile-pads ~26x
+        (41 GB at venice) whenever XLA declines to fuse the trailing
+        reshape — observed to depend on the surrounding program. Per-m
+        repeat/tile keeps every value 2D with a wide last dim."""
+        bi = self.e_batch
+        info = self.batch_info[bi]
+        _, jac, _ = per_batch[bi]
+        s, gi, c, t = info["ret_slots"][0]
+        ec, et = info["e_col"]
+        m_res = jac.shape[1]
+        a_flat = None
+        for m in range(m_res):
+            f_m = jac[:, m, c : c + t]  # (B, t)
+            e_m = jac[:, m, ec : ec + et]  # (B, e)
+            term = jnp.repeat(f_m, et, axis=1) * jnp.tile(e_m, (1, t))
+            a_flat = term if a_flat is None else a_flat + term
+        return a_flat
 
     def _assemble(self, data, g, d):
         """Per-mu elimination state: damped C^-1 and the rhs pieces.
@@ -501,6 +535,7 @@ class SchurSolver:
             d_f=d_f,
             g_e=g_e,
             cam=prep["cam"],
+            explicit_grid=prep.get("explicit_grid"),
         )
 
     def _sorted_cam_jac(self, bi, jac):
@@ -850,26 +885,12 @@ class SchurSolver:
         """
         plan = self.explicit_plan
         bi = self.e_batch
-        info = self.batch_info[bi]
-        r, jac, E = asm["per_batch"][bi]
-        s, gi, c, t = info["ret_slots"][0]
         e = self.e_size
-        ec, et = info["e_col"]
-        # Fully-2D construction of the flat per-row A = F^T E rows:
-        # a_flat[b, f*e + g] = sum_m F[b,m,f] E[b,m,g]. The einsum form
-        # produces a (B, f, e) value whose materialization tile-pads ~26x
-        # (41 GB at venice) whenever XLA declines to fuse the trailing
-        # reshape — observed to depend on the surrounding program. Per-m
-        # repeat/tile keeps every value 2D with a wide last dim.
-        m_res = jac.shape[1]
-        a_flat = None
-        for m in range(m_res):
-            f_m = jac[:, m, c : c + t]  # (B, t)
-            e_m = jac[:, m, ec : ec + et]  # (B, e)
-            term = jnp.repeat(f_m, e, axis=1) * jnp.tile(e_m, (1, t))
-            a_flat = term if a_flat is None else a_flat + term
+        grid = asm.get("explicit_grid")
+        if grid is None:  # direct callers that skipped prepare()
+            grid = plan.build_grid(self._explicit_a_flat(asm["per_batch"]))
         cinv_flat = asm["cinv"].reshape(-1, e * e)
-        uniq = plan.correction_offdiag(a_flat, cinv_flat)
+        uniq = plan.correction_offdiag(grid, cinv_flat)
         s_mat = -plan.dense_s_offdiag(uniq)
         # diagonal blocks of the observation batch, incl. damping
         diag_blocks = self._schur_jacobi_blocks(asm, only_batch=bi)[0]
@@ -897,6 +918,11 @@ class SchurSolver:
         enumeration + XLA scatter, which could not scale past toy problems
         and supported only one batch signature; reference counterpart:
         ``schur_complement_solver.cc`` assembling S cell by cell)."""
+        # under a mesh the explicit pair-product plan is the sharded-native
+        # path (per-shard sums + one psum); the dense-W gather plan would
+        # allgather the sharded value rows
+        if self.explicit_plan is not None and self.ev.mesh is not None:
+            return self._dense_s_explicit(asm)
         if self.dense_w is not None:
             return self._dense_s_dense_w(asm)
         if self.explicit_plan is not None:
