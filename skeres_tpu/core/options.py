@@ -154,6 +154,13 @@ class SolverOptions:
     # (skewed camera-degree distributions fall back to the gather-plan
     # path); see SchurSolver(pad_waste=...)
     jacobian_pad_waste: float = 1.5
+    # explicit-S assembly viability/shape knobs (SchurSolver /
+    # ExplicitSchurPlan): the byte cap on the dense reduced camera system
+    # (beyond it DENSE_SCHUR falls back to the implicit column probe and
+    # ITERATIVE_SCHUR to the implicit matvec), and the per-level fan-in of
+    # the hierarchical padded pair sums
+    explicit_schur_limit_bytes: int = 2 << 30
+    schur_pair_cap: int = 32
     # write a Perfetto/XProf trace of the minimizer to this directory
     # (SURVEY.md §6 tracing; view with xprof / perfetto)
     trace_dir: Optional[str] = None

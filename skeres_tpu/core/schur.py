@@ -995,8 +995,40 @@ class SchurSolver:
             # The f32 Cholesky can fail (NaN) when S is nearly singular at
             # low damping — catastrophic cancellation in F^T F - W C^-1 W^T
             # for well-observed cameras. The reference reports
-            # LinearSolverFailure and wastes the LM step; here PCG on the
-            # explicit S (a few dense GEMVs) recovers the step instead.
+            # LinearSolverFailure and wastes the LM step; here the step is
+            # recovered instead, in two stages:
+            #
+            # 1. JITTERED REFACTOR: Cholesky of S + delta*I in the
+            #    equilibrated space (pivots ~1, so delta is relative),
+            #    delta escalating 1e-5 -> 1e-3. Adding delta*I here equals
+            #    adding delta*D to the raw S — a whisker of extra Tikhonov
+            #    damping on the cameras, far below the LM damping that
+            #    matters — so the step solves a negligibly-more-damped
+            #    model and the trust region judges it on actual decrease.
+            #    This converts the reference's wasted step into a useful
+            #    one whenever f32 assembly noise (not genuine
+            #    indefiniteness) killed the factor. One extra Cholesky
+            #    instance total (lax.while_loop); executes only on failure.
+            # 2. capped PCG on the explicit S (below) if even the jittered
+            #    factors fail.
+            def _retry_cond(c):
+                dx, delta, k = c
+                return (~jnp.all(jnp.isfinite(dx))) & (k < 2)
+
+            def _retry_body(c):
+                dx, delta, k = c
+                n = s.shape[0]
+                eye = (
+                    jnp.arange(n)[:, None] == jnp.arange(n)[None, :]
+                ).astype(s.dtype)
+                x2, _ = self._factor_solve(s + delta * eye, rhs_eq)
+                return x2, delta * 100.0, k + 1
+
+            dx_f, _, n_retries = jax.lax.while_loop(
+                _retry_cond,
+                _retry_body,
+                (dx_f, jnp.asarray(1e-5, s.dtype), jnp.zeros((), jnp.int32)),
+            )
             bad = ~jnp.all(jnp.isfinite(dx_f))
             if len(self.ret_blocks) == 1:
                 # block-Jacobi preconditioner read off the explicit S
@@ -1033,7 +1065,7 @@ class SchurSolver:
                 bad, cg_fallback, lambda _: dx_f, operand=None
             )
             dx_f = dx_f / d_eq  # undo the equilibration
-            iters = jnp.where(bad, 32, 1).astype(jnp.int32)
+            iters = jnp.where(bad, 32, 1 + n_retries).astype(jnp.int32)
         else:
             s_explicit = None
             if self.use_explicit:

@@ -138,6 +138,8 @@ def solve(
             sort_threshold=options.jacobian_sort_threshold,
             pad_waste=options.jacobian_pad_waste,
             use_explicit=options.use_explicit_schur_complement,
+            explicit_s_limit_bytes=options.explicit_schur_limit_bytes,
+            pair_cap=options.schur_pair_cap,
         )
 
     inner_refiner = None

@@ -383,3 +383,39 @@ def test_dense_schur_factor_failure_cg_fallback(small_bal):
     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
     assert cos > 0.99, cos
     assert abs(np.linalg.norm(a) / np.linalg.norm(b) - 1.0) < 0.1
+
+
+def test_factor_failure_jittered_refactor_recovers_step():
+    """A gauge-free BA problem at mu ~ 0 has a singular S: the f32
+    Cholesky fails (NaN). The reference reports LinearSolverFailure and
+    wastes the LM step; here an escalating-jitter refactor of the
+    equilibrated S (delta*I with delta in {1e-5, 1e-3}, a whisker of extra
+    Tikhonov damping) must recover a finite step, with the linear-solver
+    iteration count recording the retry."""
+    import jax.numpy as jnp
+
+    from skeres_tpu.core.evaluator import Evaluator
+    from skeres_tpu.core.schur import SchurSolver
+    from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+    bal = synthetic_bal(
+        num_cameras=6, num_points=60, observations_per_point=4
+    )
+    problem, _, _ = build_bal_problem(bal)
+    program = problem.compile()
+    ev = Evaluator(program)
+    state = program.initial_state(ev.dtype)
+    _, blocks = jax.jit(ev.blocks)(state)
+    g, diag = jax.jit(ev.gradient_and_diag)(blocks)
+    schur = SchurSolver(ev, iterative=False)
+    schur.dense_w = None  # force the explicit-S path
+    data = schur.solver_data(blocks)
+    dx, iters = jax.jit(
+        lambda: schur.solve_damped(
+            data, g, diag, jnp.asarray(1e-32, ev.dtype), 1e-6, 1e32
+        )
+    )()
+    assert bool(jnp.all(jnp.isfinite(dx)))
+    # at least one jitter retry actually ran (otherwise this fixture no
+    # longer triggers the failure and must be re-tuned)
+    assert int(iters) >= 2, int(iters)

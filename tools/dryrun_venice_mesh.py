@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--num_cameras", type=int, default=222)  # venice/8
     ap.add_argument("--num_points", type=int, default=40_000)
     ap.add_argument("--obs_per_point", type=int, default=5)
+    ap.add_argument(
+        "--linear_solver",
+        default="schur_dense",
+        choices=["schur_dense", "schur_iterative"],
+        help="schur_dense runs the SHARDED EXPLICIT-S flagship path",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -52,9 +58,14 @@ def main():
     )
     mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("obs",))
     problem, _, _ = build_bal_problem(bal)
+    solver = (
+        LinearSolverType.DENSE_SCHUR
+        if args.linear_solver == "schur_dense"
+        else LinearSolverType.ITERATIVE_SCHUR
+    )
     summary = st.solve(
         SolverOptions(
-            linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
+            linear_solver_type=solver,
             max_num_iterations=2,
             max_linear_solver_iterations=20,
             mesh=mesh,
@@ -70,6 +81,7 @@ def main():
         json.dumps(
             {
                 "metric": "venice_mesh_dryrun",
+                "linear_solver": args.linear_solver,
                 "ok": True,
                 "obs": bal.num_observations,
                 "devices": 8,
