@@ -284,9 +284,10 @@ class Evaluator:
 
         r = r * weight[:, None]
         s = jnp.sum(r * r, axis=-1)
-        if batch.loss is None:
+        loss = batch.loss if self.apply_loss_function else None
+        if loss is None:
             return 0.5 * s
-        rho0, _, _ = batch.loss.evaluate(s)
+        rho0, _, _ = loss.evaluate(s)
         return 0.5 * rho0
 
     def _batch_residuals(self, bi: int, state):
@@ -329,6 +330,18 @@ class Evaluator:
                 xp = tuple(m.plus(x, d) for m, x, d in zip(manifolds, x_row, ds))
                 return batch.fn(xp, data_row)
 
+            if batch.numeric_diff:
+                # user-requested central differences (reference:
+                # NumericDiffCostFunction) — for residuals whose AD
+                # derivative is unavailable or wrong
+                from skeres_tpu.core.gradient_checker import (
+                    numeric_jacobian,
+                )
+
+                zero = jnp.zeros((T,), dtype=self.dtype)
+                return f(zero), numeric_jacobian(
+                    f, T, self.dtype, batch.numeric_diff_step
+                )
             zero = jnp.zeros((T,), dtype=self.dtype)
             r, lin = jax.linearize(f, zero)
             basis = jnp.eye(T, dtype=self.dtype)

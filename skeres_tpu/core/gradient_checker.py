@@ -57,6 +57,11 @@ def check_program_gradients(
     dtype = evaluator.dtype
 
     for bi, batch in enumerate(program.batches):
+        if batch.numeric_diff:
+            # this batch SOLVES with numeric derivatives — comparing them
+            # against themselves is vacuous, and against jax.linearize is
+            # exactly the mismatch the user opted out of
+            continue
         data, idx, _, _, _ = evaluator._batch_const[bi]
         xs = evaluator._gather_slots(batch, idx, state)
         manifolds = [program.groups[gi].manifold for gi in batch.slot_groups]

@@ -147,6 +147,12 @@ class _BatchSpec:
     # per residual block: the id handed out by add_residual_block (None for
     # bulk batches, which are not individually removable)
     row_ids: Optional[List[int]] = None
+    # differentiate by central differences instead of jax.linearize
+    # (reference: NumericDiffCostFunction) — for residual fns whose AD
+    # derivative is wrong/undefined (custom_jvp-less external calls via
+    # pure_callback, table lookups, stop_gradient'ed terms)
+    numeric_diff: bool = False
+    numeric_diff_step: float = 1e-6
 
 
 class ResidualBlockId:
@@ -178,6 +184,8 @@ class CompiledBatch:
     # (B, T_block) int32: global tangent index of each local tangent coord
     tangent_index: np.ndarray
     name: str = ""
+    numeric_diff: bool = False
+    numeric_diff_step: float = 1e-6
 
 
 @dataclasses.dataclass
@@ -360,11 +368,20 @@ class Problem:
         params: Sequence[ParameterBlock],
         data: Any = None,
         name: str = "",
+        numeric_diff: bool = False,
+        numeric_diff_relative_step_size: float = 1e-6,
     ) -> ResidualBlockId:
         """Add one residual block. Blocks with the same (fn, loss, group
-        signature) batch together at compile time."""
+        signature) batch together at compile time.
+
+        ``numeric_diff=True`` differentiates this block's residual by
+        central differences in the tangent space instead of forward-mode AD
+        (reference: ``NumericDiffCostFunction`` — use for residuals whose
+        AD derivative is unavailable or wrong: external functions wrapped
+        in ``jax.pure_callback``, table lookups, ``stop_gradient`` terms).
+        """
         slot_groups = tuple(p.group_index for p in params)
-        key = (id(fn), id(loss), slot_groups, name)
+        key = (id(fn), id(loss), slot_groups, name, numeric_diff)
         spec = self._batches.get(key)
         if spec is None:
             spec = _BatchSpec(
@@ -375,6 +392,8 @@ class Problem:
                 data_rows=[],
                 name=name or getattr(fn, "__name__", "residual"),
                 row_ids=[],
+                numeric_diff=numeric_diff,
+                numeric_diff_step=numeric_diff_relative_step_size,
             )
             self._batches[key] = spec
         for slot, p in enumerate(params):
@@ -444,6 +463,8 @@ class Problem:
         data: Any = None,
         num_blocks: Optional[int] = None,
         name: str = "",
+        numeric_diff: bool = False,
+        numeric_diff_relative_step_size: float = 1e-6,
     ) -> None:
         """Bulk-add B homogeneous residual blocks (the TPU-idiomatic path).
 
@@ -494,6 +515,8 @@ class Problem:
             ],
             data_rows=[("bulk", data, B)],
             name=name or getattr(fn, "__name__", "residual"),
+            numeric_diff=numeric_diff,
+            numeric_diff_step=numeric_diff_relative_step_size,
         )
         self._batches[key] = spec
         self._num_residual_blocks += B
@@ -592,6 +615,8 @@ class Problem:
                     block_tangent_size=t_block,
                     tangent_index=tangent_index,
                     name=spec.name,
+                    numeric_diff=spec.numeric_diff,
+                    numeric_diff_step=spec.numeric_diff_step,
                 )
             )
             total_residuals += B * m
@@ -625,6 +650,46 @@ class Problem:
             has_bounds=has_bounds,
         )
 
+    def _subset_problem(self, residual_blocks) -> "Problem":
+        """Shadow Problem sharing this one's parameter groups but holding
+        only the selected residual blocks (reference:
+        ``EvaluateOptions::residual_blocks``)."""
+        wanted = set()
+        for rbid in residual_blocks:
+            if rbid._rid not in self._residual_registry:
+                raise KeyError(
+                    f"unknown or removed residual block {rbid}"
+                )
+            wanted.add(rbid._rid)
+        sub = Problem.__new__(Problem)
+        sub._groups = self._groups  # shared parameter storage
+        sub._default_manifolds = self._default_manifolds
+        sub._batches = {}
+        sub._num_residual_blocks = 0
+        sub._next_residual_id = self._next_residual_id
+        sub._residual_registry = {}
+        for key, spec in self._batches.items():
+            if spec.row_ids is None:
+                continue  # bulk batches carry no ids
+            rows = [i for i, r in enumerate(spec.row_ids) if r in wanted]
+            if not rows:
+                continue
+            sub._batches[key] = _BatchSpec(
+                fn=spec.fn,
+                loss=spec.loss,
+                slot_groups=spec.slot_groups,
+                slot_indices=[
+                    [sl[i] for i in rows] for sl in spec.slot_indices
+                ],
+                data_rows=[spec.data_rows[i] for i in rows],
+                name=spec.name,
+                row_ids=[spec.row_ids[i] for i in rows],
+                numeric_diff=spec.numeric_diff,
+                numeric_diff_step=spec.numeric_diff_step,
+            )
+            sub._num_residual_blocks += len(rows)
+        return sub
+
     # -- evaluation convenience (reference: Problem::Evaluate) ----------------
 
     def evaluate(
@@ -633,6 +698,8 @@ class Problem:
         gradient: bool = False,
         jacobian: bool = False,
         dtype=None,
+        residual_blocks: Optional[Sequence[ResidualBlockId]] = None,
+        apply_loss_function: bool = True,
     ):
         """Evaluate at the current parameter values
         (reference: ``Problem::Evaluate(EvaluateOptions, ...)``).
@@ -641,14 +708,25 @@ class Problem:
         ``cost`` (float), ``residuals`` ((M,), loss-corrected, batch order),
         ``gradient`` ((N_tangent,) = J^T r), ``jacobian`` ((M, N_tangent)
         dense — small problems only).
+
+        ``residual_blocks`` restricts the evaluation to the given subset
+        (the reference's ``EvaluateOptions::residual_blocks``; bulk batches
+        from ``add_residual_blocks`` have no ids and are not selectable).
+        ``apply_loss_function=False`` evaluates without the robustifier
+        (``EvaluateOptions::apply_loss_function``).
         """
         import jax
         import jax.numpy as jnp
 
         from skeres_tpu.core.evaluator import Evaluator
 
-        program = self.compile()
-        ev = Evaluator(program, dtype=dtype)
+        target = self
+        if residual_blocks is not None:
+            target = self._subset_problem(residual_blocks)
+        program = target.compile()
+        ev = Evaluator(
+            program, dtype=dtype, apply_loss_function=apply_loss_function
+        )
         state = program.initial_state(ev.dtype)
         if not (residuals or gradient or jacobian):
             return float(jax.jit(ev.cost)(state))

@@ -93,3 +93,80 @@ def test_evaluation_callback_fires():
     assert spy.calls, "EvaluationCallback never fired"
     # first dispatch is the initial full linearization: jacobians at a new point
     assert spy.calls[0] == (True, True)
+
+
+def test_numeric_diff_residual_blocks():
+    """numeric_diff=True (reference: NumericDiffCostFunction) must solve
+    with central-difference Jacobians. Fixture: a residual whose AD
+    derivative is deliberately WRONG (stop_gradient hides half the
+    product rule), so the analytic path stalls at the wrong point while
+    the numeric path reaches the true minimum."""
+    import jax
+
+    def broken_ad(params, data):
+        (p,) = params
+        # r = x^2 - 4, but AD sees only x*dx (not 2x*dx)
+        return (jax.lax.stop_gradient(p[0]) * p[0] - 4.0)[None]
+
+    def run(numeric):
+        p = Problem()
+        x = p.add_parameter_block([10.0])
+        p.add_residual_block(broken_ad, None, [x], numeric_diff=numeric)
+        s = solve(SolverOptions(max_num_iterations=60), p)
+        return float(x.value[0]), s
+
+    x_num, s_num = run(True)
+    assert abs(abs(x_num) - 2.0) < 1e-3, x_num
+    assert s_num.final_cost < 1e-8
+
+    # smooth problem: numeric and analytic agree to the step-size order
+    def smooth(params, data):
+        (p,) = params
+        return (p[0] ** 2 - 4.0)[None]
+
+    p2 = Problem()
+    y = p2.add_parameter_block([10.0])
+    p2.add_residual_block(smooth, None, [y], numeric_diff=True)
+    solve(SolverOptions(max_num_iterations=60), p2)
+    assert abs(abs(float(y.value[0])) - 2.0) < 1e-3
+
+
+def test_evaluate_residual_block_subset():
+    """Problem.evaluate(residual_blocks=[...]) restricts the evaluation to
+    the chosen subset (reference: EvaluateOptions::residual_blocks), and
+    apply_loss_function=False drops the robustifier."""
+    from skeres_tpu.ops.loss import CauchyLoss
+
+    p = Problem()
+    x = p.add_parameter_block([3.0])
+
+    def r1(params, data):
+        (v,) = params
+        return (v[0] - 1.0)[None]
+
+    def r2(params, data):
+        (v,) = params
+        return (2.0 * v[0])[None]
+
+    id1 = p.add_residual_block(r1, None, [x])
+    id2 = p.add_residual_block(r2, CauchyLoss(1.0), [x])
+
+    full = p.evaluate()
+    only1 = p.evaluate(residual_blocks=[id1])
+    only2 = p.evaluate(residual_blocks=[id2])
+    np.testing.assert_allclose(only1, 0.5 * (3.0 - 1.0) ** 2, rtol=1e-6)
+    np.testing.assert_allclose(full, only1 + only2, rtol=1e-6)
+    # Cauchy(1): rho(s) = log(1 + s); s = 36
+    np.testing.assert_allclose(only2, 0.5 * np.log(1.0 + 36.0), rtol=1e-5)
+    # without the loss, block 2 is the raw quadratic
+    raw2 = p.evaluate(residual_blocks=[id2], apply_loss_function=False)
+    np.testing.assert_allclose(raw2, 0.5 * 36.0, rtol=1e-6)
+    # residual vector of the subset
+    out = p.evaluate(residuals=True, residual_blocks=[id1])
+    np.testing.assert_allclose(out["residuals"], [2.0], rtol=1e-6)
+    # unknown handle -> KeyError
+    import pytest as _pytest
+
+    p.remove_residual_block(id1)
+    with _pytest.raises(KeyError):
+        p.evaluate(residual_blocks=[id1])
