@@ -174,14 +174,21 @@ def _uniformize_shard_levels(per_shard, n_rows0: int, cap: int):
     return stacked, shapes, n_prev_padded
 
 
-def _pair_metadata(grid_cam: np.ndarray, num_cameras: int, iu, ju):
+def _pair_metadata(
+    grid_cam: np.ndarray, num_cameras: int, iu, ju, cluster_of=None
+):
     """Per-point-row pair bookkeeping from a (Pn, kp) camera grid:
     (swap (Pn, npair) bool, valid (Pn, npair) bool, pair_id (Pn*npair,)
-    with -1 for invalid)."""
+    with -1 for invalid). With ``cluster_of`` (a (num_cameras,) cluster id
+    per camera), pairs whose cameras live in different clusters are
+    dropped — the CLUSTER_JACOBI restriction."""
     npair = len(iu)
     ca = grid_cam[:, iu].reshape(-1)
     cb = grid_cam[:, ju].reshape(-1)
     pair_valid = (ca >= 0) & (cb >= 0)
+    if cluster_of is not None:
+        cl = np.asarray(cluster_of)
+        pair_valid &= cl[np.clip(ca, 0, None)] == cl[np.clip(cb, 0, None)]
     swap = ca > cb
     lo = np.where(swap, cb, ca)
     hi = np.where(swap, ca, cb)
@@ -220,6 +227,9 @@ class ExplicitSchurPlan:
         chunk_value_budget: int = 1 << 26,  # bytes of unpadded pair values
         # a lax.map chunk may materialize; bound it (~64 MB unpadded, so
         # even a worst-case 14x tile-padded materialization stays ~1 GB)
+        cluster_of: Optional[np.ndarray] = None,  # (nc,) cluster id per
+        # camera: restrict pairs to intra-cluster (CLUSTER_JACOBI plan —
+        # the unique-pair table then stays tiny however many cameras)
     ):
         B = len(cam_idx)
         if n_valid is None:
@@ -231,6 +241,10 @@ class ExplicitSchurPlan:
         self.pair_cap = pair_cap
         self.mesh = mesh if n_shards > 1 else None
         self.n_shards = n_shards if self.mesh is not None else 1
+        self.cluster_of = (
+            None if cluster_of is None
+            else np.asarray(cluster_of, dtype=np.int64)
+        )
 
         # -- global point grid stats + skew gate --------------------------
         pt_v = pt_idx[:n_valid]
@@ -243,8 +257,15 @@ class ExplicitSchurPlan:
         iu, ju = np.triu_indices(kp, k=1)
         self.pair_k = jnp.asarray(iu.astype(np.int32))
         self.pair_l = jnp.asarray(ju.astype(np.int32))
+        self.pair_k_static = tuple(int(v) for v in iu)
+        self.pair_l_static = tuple(int(v) for v in ju)
         npairs = len(iu)
         self.npairs = npairs
+        # points-on-lanes Pallas kernel for the pair products (the XLA
+        # broadcast-einsum form keeps the tiny (f, e) minors on the vector
+        # lanes — ~100x off the VPU roofline, measured); non-TPU backends
+        # keep the einsum path (interpret mode is for unit tests only)
+        self.use_pair_kernel = jax.default_backend() == "tpu"
         # chunk size over point rows: bound the per-chunk pair-value bytes
         self.chunk_points = max(
             256, chunk_value_budget // max(1, npairs * f_size * f_size * 4)
@@ -262,7 +283,7 @@ class ExplicitSchurPlan:
         grid_cam[gvalid] = cam_idx[grid_src[gvalid]]
         grid_cam = grid_cam.reshape(num_points, kp)
         swap_g, valid_g, pair_id_g = _pair_metadata(
-            grid_cam, num_cameras, iu, ju
+            grid_cam, num_cameras, iu, ju, self.cluster_of
         )
         uniq = np.unique(pair_id_g[pair_id_g >= 0])
         self.n_uniq = n_uniq = len(uniq)
@@ -312,6 +333,30 @@ class ExplicitSchurPlan:
         # stays in flat-81 2D form (pads only 81->128)
         ij = np.arange(f_size * f_size).reshape(f_size, f_size)
         self.perm_t = jnp.asarray(ij.T.reshape(-1).astype(np.int32))
+
+        # -- cluster block maps (CLUSTER_JACOBI): slot (c, i, j) -> uniq --
+        if self.cluster_of is not None:
+            ncl = int(self.cluster_of.max()) + 1 if num_cameras else 0
+            members = [
+                np.nonzero(self.cluster_of == c)[0] for c in range(ncl)
+            ]
+            cs = max((len(m) for m in members), default=1)
+            cam_of = np.full((ncl, cs), -1, dtype=np.int64)
+            for c, m in enumerate(members):
+                cam_of[c, : len(m)] = m
+            a = np.broadcast_to(cam_of[:, :, None], (ncl, cs, cs))
+            b = np.broadcast_to(cam_of[:, None, :], (ncl, cs, cs))
+            ok = (a >= 0) & (b >= 0)
+            flatpos = np.where(
+                ok, np.clip(a, 0, None) * num_cameras + np.clip(b, 0, None), 0
+            ).reshape(-1)
+            map_u = np.where(ok.reshape(-1), pos2u[flatpos], n_uniq)
+            map_l = np.where(ok.reshape(-1), pos2u_t[flatpos], n_uniq)
+            self.cluster_map_u = jnp.asarray(map_u.astype(np.int32))
+            self.cluster_map_l = jnp.asarray(map_l.astype(np.int32))
+            self.n_clusters = ncl
+            self.cluster_slot_size = cs
+            self.cluster_cam_of = cam_of  # (ncl, cs) host-side, -1 = pad
 
     # -- sharded planning --------------------------------------------------
 
@@ -381,7 +426,7 @@ class ExplicitSchurPlan:
                 grid_srcs[s, j * kp : j * kp + len(rr)] = rr - s * bs
                 grid_cam_s[j, : len(rr)] = cam_v[rr]
             swap_s, valid_s, pair_id_s = _pair_metadata(
-                grid_cam_s, nc, iu, ju
+                grid_cam_s, nc, iu, ju, self.cluster_of
             )
             swap_sh[s] = swap_s
             valid_sh[s] = valid_s
@@ -423,7 +468,7 @@ class ExplicitSchurPlan:
                 fix_rows[j, : len(rr)] = rr
                 grid_cam_f[j, : len(rr)] = cam_v[rr]
             swap_f, valid_f, pair_id_f = _pair_metadata(
-                grid_cam_f, nc, iu, ju
+                grid_cam_f, nc, iu, ju, self.cluster_of
             )
             rr = np.nonzero(pair_id_f >= 0)[0]
             levels_f, uniq_f = _hierarchical_sum_plan(
@@ -527,6 +572,30 @@ class ExplicitSchurPlan:
         t = jnp.where(valid_c[:, :, None, None], t, 0.0)
         return t.reshape(-1, f * f)
 
+    def _pair_values(self, grid, cinv_rows, swap, valid):
+        """(Pn, kp*f*e) grid -> (Pn*npairs, f*f) pair values.
+
+        Kernel path (TPU): one pallas_call, G-MAJOR flat layout (the
+        caller permutes the tiny reduced table back to f-major — see
+        ``correction_offdiag``). Einsum path: chunked XLA, f-major."""
+        if self.use_pair_kernel:
+            from skeres_tpu.ops.pallas.pair_product import (
+                pair_products_lanes,
+            )
+
+            return pair_products_lanes(
+                grid,
+                cinv_rows,
+                swap,
+                valid,
+                kp=self.kp,
+                f=self.f,
+                e=self.e,
+                pair_k=self.pair_k_static,
+                pair_l=self.pair_l_static,
+            )
+        return self._chunked_pair_values(grid, cinv_rows, swap, valid)
+
     def _chunked_pair_values(self, grid, cinv_rows, swap, valid):
         """(Pn, kp*f*e) grid -> (Pn*npairs, f*f) pair values, streamed in
         bounded point chunks (lax.map) so transients cannot balloon even if
@@ -563,13 +632,18 @@ class ExplicitSchurPlan:
         if self.n_uniq == 0 or self.npairs == 0:
             return jnp.zeros((self.n_uniq, self.f * self.f), cinv_flat.dtype)
         if self.mesh is None:
-            vals = self._chunked_pair_values(
+            vals = self._pair_values(
                 grid["grid"],
                 cinv_flat,
                 self.swap_mask,
                 self.pair_valid,
             )
-            return _apply_hierarchical_sum(self.levels, vals)
+            uniq = _apply_hierarchical_sum(self.levels, vals)
+            if self.use_pair_kernel:
+                # kernel rows are g-major; one static column permutation of
+                # the tiny reduced table restores the f-major convention
+                uniq = uniq[:, self.perm_t]
+            return uniq
 
         from jax.sharding import PartitionSpec as P
 
@@ -578,7 +652,7 @@ class ExplicitSchurPlan:
 
         def body(g_l, pt_l, swap_l, valid_l, cinv, *srcs):
             cinv_rows = cinv[pt_l[0]]
-            vals = self._chunked_pair_values(
+            vals = self._pair_values(
                 g_l[0], cinv_rows, swap_l[0], valid_l[0]
             )
             cur = vals
@@ -605,14 +679,48 @@ class ExplicitSchurPlan:
         )
 
         if self.n_straddle:
-            vals = self._chunked_pair_values(
+            vals = self._pair_values(
                 grid["fix"],
                 cinv_flat[self.fix_pt],
                 self.fix_swap,
                 self.fix_valid,
             )
             uniq = uniq + _apply_hierarchical_sum(self.fix_levels, vals)
+        if self.use_pair_kernel:
+            uniq = uniq[:, self.perm_t]  # g-major kernel rows -> f-major
         return uniq
+
+    def cluster_offdiag(self, uniq_flat, chunk_cams: int = 1024):
+        """Batched (n_clusters, cs*f, cs*f) off-diagonal correction blocks
+        from the (intra-cluster-restricted) unique-pair table — the
+        CLUSTER_JACOBI preconditioner's matrices. Same gather-build idiom
+        as :meth:`dense_s_offdiag`, rearranged per cluster; rows/cols of
+        padded cluster slots are zero."""
+        ncl, cs, f = self.n_clusters, self.cluster_slot_size, self.f
+        zero = jnp.zeros((1, f * f), uniq_flat.dtype)
+        padded = jnp.concatenate([uniq_flat, zero])
+        b81 = padded[self.cluster_map_u] + padded[self.cluster_map_l][
+            :, self.perm_t
+        ]  # (ncl*cs*cs, f*f), 2D throughout
+
+        rows = ncl * cs
+        g = b81.reshape(rows, cs * f * f)
+        cch = min(chunk_cams, rows)
+        nch = -(-rows // cch)
+        pad = nch * cch - rows
+        if pad:
+            g = jnp.pad(g, ((0, pad), (0, 0)))
+
+        def rearr(blk):  # (cch, cs*f*f) -> (cch*f, cs*f)
+            return (
+                blk.reshape(cch, cs, f, f)
+                .swapaxes(1, 2)
+                .reshape(cch * f, cs * f)
+            )
+
+        out = jax.lax.map(rearr, g.reshape(nch, cch, cs * f * f))
+        out = out.reshape(nch * cch * f, cs * f)[: rows * f]
+        return out.reshape(ncl, cs * f, cs * f)
 
     def dense_s_offdiag(self, uniq_flat, chunk_cams: int = 127):
         """Gather-build the (nc*f, nc*f) off-diagonal correction from the

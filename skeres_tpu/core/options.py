@@ -161,6 +161,9 @@ class SolverOptions:
     # the hierarchical padded pair sums
     explicit_schur_limit_bytes: int = 2 << 30
     schur_pair_cap: int = 32
+    # CLUSTER_JACOBI preconditioner: cameras per cluster (contiguous
+    # index ranges; see PreconditionerType.CLUSTER_JACOBI)
+    cluster_jacobi_size: int = 64
     # write a Perfetto/XProf trace of the minimizer to this directory
     # (SURVEY.md §6 tracing; view with xprof / perfetto)
     trace_dir: Optional[str] = None

@@ -100,6 +100,7 @@ class SchurSolver:
         use_explicit: bool = False,
         explicit_s_limit_bytes: int = 2 << 30,
         pair_cap: int = 32,
+        cluster_size: int = 64,
     ):
         self.ev = evaluator
         self.iterative = iterative
@@ -389,6 +390,66 @@ class SchurSolver:
                     self.explicit_plan = None  # point-degree skew too high
         self.use_explicit = use_explicit and self.explicit_plan is not None
 
+        # CLUSTER_JACOBI preconditioner plan (reference:
+        # cluster_jacobi_preconditioner.cc via visibility clustering; here
+        # clusters are contiguous camera-index ranges — capture order
+        # implies view locality in BAL data — because canonical-views
+        # clustering is a serial CPU graph algorithm with no TPU mapping).
+        # Unlike the explicit-S plan this has NO size cap: the
+        # intra-cluster unique-pair table stays tiny however many cameras,
+        # which is exactly the beyond-explicit-S (>~23k retained coords)
+        # regime it exists for.
+        self.cluster_plan = None
+        if (
+            iterative
+            and preconditioner == PreconditionerType.CLUSTER_JACOBI
+            and self.e_batch is not None
+            and len(self.ret_blocks) == 1
+            and len(self.batch_info[self.e_batch]["ret_slots"]) == 1
+        ):
+            bi = self.e_batch
+            b = program.batches[bi]
+            info = self.batch_info[bi]
+            s, gi, c, f_size = info["ret_slots"][0]
+            nc = program.groups[gi].num_blocks
+            from skeres_tpu.core.explicit_schur import ExplicitSchurPlan
+
+            e_slot = b.slot_groups.index(self.elim_group)
+            try:
+                self.cluster_plan = ExplicitSchurPlan(
+                    cam_idx=evaluator._batch_idx_np[bi][s].astype(np.int64),
+                    pt_idx=evaluator._batch_idx_np[bi][e_slot].astype(
+                        np.int64
+                    ),
+                    num_cameras=nc,
+                    num_points=self.num_points,
+                    f_size=f_size,
+                    e_size=self.e_size,
+                    n_valid=b.num_blocks,
+                    pad_waste=pad_waste,
+                    pair_cap=pair_cap,
+                    mesh=evaluator.mesh,
+                    n_shards=evaluator._n_shards,
+                    cluster_of=np.arange(nc) // max(cluster_size, 1),
+                )
+            except ValueError:
+                self.cluster_plan = None
+            if self.cluster_plan is not None:
+                # host-side inverse slot map for the batched apply
+                cam_of = self.cluster_plan.cluster_cam_of
+                ncl, cs = cam_of.shape
+                pos_of_cam = np.zeros(nc, dtype=np.int64)
+                flat = cam_of.reshape(-1)
+                pos_of_cam[flat[flat >= 0]] = np.nonzero(flat >= 0)[0]
+                self._cluster_pos_of_cam = jnp.asarray(
+                    pos_of_cam.astype(np.int32)
+                )
+                # diag-block gather: slot -> camera (sentinel nc = pad);
+                # pad slots read an identity block so the factor stays PD
+                self._cluster_slot_cam = jnp.asarray(
+                    np.where(flat >= 0, flat, nc).astype(np.int32)
+                )
+
         self._ret_index_dev = jnp.asarray(self.ret_index)
 
     # -- solver_data / scaling ---------------------------------------------------
@@ -478,12 +539,15 @@ class SchurSolver:
         for bi in self.sorted_info:
             cam[bi] = self._sorted_cam_jac(bi, per_batch[bi][1])
         prep = dict(per_batch=per_batch, cam=cam, ete0=ete0)
-        if self.explicit_plan is not None:
+        gplan = self.explicit_plan or self.cluster_plan
+        if gplan is not None:
             # hoisted mu-independent half of explicit-S assembly: the flat
             # A = F^T E rows and their point grid(s). Rejected-step
             # re-solves (new mu, same linearization) then pay only the
-            # cinv-dependent pair contraction.
-            prep["explicit_grid"] = self.explicit_plan.build_grid(
+            # cinv-dependent pair contraction. The grid layout depends
+            # only on the row structure, so the explicit-S and
+            # CLUSTER_JACOBI plans share one grid.
+            prep["explicit_grid"] = gplan.build_grid(
                 self._explicit_a_flat(per_batch)
             )
         return prep
@@ -1000,7 +1064,11 @@ class SchurSolver:
             #
             # 1. JITTERED REFACTOR: Cholesky of S + delta*I in the
             #    equilibrated space (pivots ~1, so delta is relative),
-            #    delta escalating 1e-5 -> 1e-3. Adding delta*I here equals
+            #    delta escalating 1e-5 -> 1e-3 -> 1e-1 (f32 assembly noise
+            #    on a 16k system can push negative eigenvalues past 1e-3;
+            #    even a 0.1 bump is a valid, merely more conservative
+            #    descent step — strictly better than the reference's
+            #    wasted LinearSolverFailure step). Adding delta*I equals
             #    adding delta*D to the raw S — a whisker of extra Tikhonov
             #    damping on the cameras, far below the LM damping that
             #    matters — so the step solves a negligibly-more-damped
@@ -1013,7 +1081,7 @@ class SchurSolver:
             #    factors fail.
             def _retry_cond(c):
                 dx, delta, k = c
-                return (~jnp.all(jnp.isfinite(dx))) & (k < 2)
+                return (~jnp.all(jnp.isfinite(dx))) & (k < 3)
 
             def _retry_body(c):
                 dx, delta, k = c
@@ -1095,7 +1163,19 @@ class SchurSolver:
                     [self._diag_blocks_of(s_explicit)]
                 )
 
-            elif self.preconditioner == PreconditionerType.SCHUR_JACOBI:
+            elif (
+                self.preconditioner == PreconditionerType.CLUSTER_JACOBI
+                and self.cluster_plan is not None
+            ):
+                precond = self._cluster_jacobi_precond(asm)
+
+            elif self.preconditioner in (
+                PreconditionerType.SCHUR_JACOBI,
+                # CLUSTER_JACOBI downgrades to SCHUR_JACOBI when the
+                # problem structure doesn't admit the cluster plan
+                # (reference preprocessor downgrade semantics)
+                PreconditionerType.CLUSTER_JACOBI,
+            ):
                 blocks = self._schur_jacobi_blocks(asm)
                 precond = self._block_inverse_apply(blocks)
 
@@ -1160,6 +1240,52 @@ class SchurSolver:
             self.elim_offset + jnp.arange(self.elim_span)
         ].set(dx_e.reshape(-1))
         return dx, iters
+
+    def _cluster_jacobi_precond(self, asm):
+        """CLUSTER_JACOBI: factor the block-diagonal-of-S by camera
+        cluster. The intra-cluster-restricted pair-product plan supplies
+        the off-diagonal coupling; per-camera diagonal blocks (incl. the
+        same-observation correction and damping) come from the
+        SCHUR_JACOBI machinery; the batched cluster matrices are factored
+        once per damped solve and applied with two batched triangular
+        solves per PCG iteration."""
+        plan = self.cluster_plan
+        f = plan.f
+        ncl, cs = plan.n_clusters, plan.cluster_slot_size
+        grid = asm.get("explicit_grid")
+        if grid is None:
+            grid = plan.build_grid(self._explicit_a_flat(asm["per_batch"]))
+        cinv_flat = asm["cinv"].reshape(-1, self.e_size * self.e_size)
+        uniq = plan.correction_offdiag(grid, cinv_flat)
+        mats = -plan.cluster_offdiag(uniq)  # (ncl, cs*f, cs*f)
+
+        # per-camera diagonal blocks (F^T F - sum_r Y_r A_r^T + D_f) into
+        # the cluster slots; padded slots get identity so Cholesky is PD
+        diag_blocks = self._schur_jacobi_blocks(asm)[0]  # (nc, f, f)
+        db_flat = diag_blocks.reshape(-1, f * f)
+        eye_row = jnp.eye(f, dtype=db_flat.dtype).reshape(1, f * f)
+        db_sel = jnp.concatenate([db_flat, eye_row])[
+            self._cluster_slot_cam
+        ].reshape(ncl, cs, f, f)
+        rows = jnp.arange(cs * f).reshape(cs, f)
+        mats = mats.at[:, rows[:, :, None], rows[:, None, :]].add(db_sel)
+
+        chol = jax.lax.linalg.cholesky(mats)  # batched (ncl, cs*f, cs*f)
+        pos = self._cluster_pos_of_cam
+
+        def precond(v):
+            vb = jnp.zeros((ncl * cs, f), v.dtype)
+            vb = vb.at[pos].set(v.reshape(-1, f))
+            vb = vb.reshape(ncl, cs * f, 1)
+            y = jax.lax.linalg.triangular_solve(
+                chol, vb, left_side=True, lower=True, transpose_a=False
+            )
+            x = jax.lax.linalg.triangular_solve(
+                chol, y, left_side=True, lower=True, transpose_a=True
+            )
+            return x.reshape(ncl * cs, f)[pos].reshape(-1)
+
+        return precond
 
     def _diag_blocks_of(self, s):
         """(nb, t, t) diagonal blocks of a dense (nb*t, nb*t) matrix.

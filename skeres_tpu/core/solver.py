@@ -140,6 +140,7 @@ def solve(
             use_explicit=options.use_explicit_schur_complement,
             explicit_s_limit_bytes=options.explicit_schur_limit_bytes,
             pair_cap=options.schur_pair_cap,
+            cluster_size=options.cluster_jacobi_size,
         )
 
     inner_refiner = None

@@ -49,6 +49,12 @@ class PreconditionerType(enum.Enum):
     JACOBI = "JACOBI"
     SCHUR_JACOBI = "SCHUR_JACOBI"
     POWER_SERIES_EXPANSION = "POWER_SERIES_EXPANSION"
+    # block-diagonal-of-S by camera CLUSTER (reference:
+    # cluster_jacobi_preconditioner via visibility clustering; here
+    # clusters are contiguous camera-index ranges — capture order implies
+    # view locality in BAL datasets — since canonical-views clustering is
+    # a serial CPU graph algorithm with no TPU mapping)
+    CLUSTER_JACOBI = "CLUSTER_JACOBI"
 
 
 class LineSearchDirectionType(enum.Enum):

@@ -178,3 +178,26 @@ def test_chunked_assembly_bounded_and_correct():
         temp_small,
         pair_value_bytes,
     )
+
+
+@pytest.mark.parametrize("seed", [1, 4])
+def test_pair_product_kernel_matches_einsum(seed):
+    """The points-on-lanes Pallas pair-product kernel (interpret mode on
+    CPU) must reproduce the XLA einsum path's unique-pair table and dense
+    off-diagonal exactly (same arithmetic, different layout)."""
+    pt, cam, nv, a, cinv, nc, npts = _random_case(seed, num_points=23)
+
+    def offdiag(use_kernel):
+        plan = ExplicitSchurPlan(
+            cam_idx=cam, pt_idx=pt, num_cameras=nc, num_points=npts,
+            f_size=F, e_size=E, n_valid=nv, pad_waste=100.0,
+        )
+        plan.use_pair_kernel = use_kernel
+        return _plan_offdiag(plan, a, cinv)
+
+    got = offdiag(True)
+    want = offdiag(False)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # and against the oracle
+    oracle = _oracle_offdiag(pt, cam, nv, a, cinv, nc)
+    np.testing.assert_allclose(got, oracle, rtol=2e-4, atol=2e-4)
