@@ -62,11 +62,18 @@ class _SumLevel(NamedTuple):
 
 
 def _hierarchical_sum_plan(
-    ids: np.ndarray, raw_rows: np.ndarray, n_rows: int, cap: int = 32
+    ids: np.ndarray, raw_rows: np.ndarray, n_rows: int, cap: int = 32,
+    adaptive: bool = False,
 ) -> Tuple[list, np.ndarray]:
     """Plan ``out[u] = sum(values[raw_rows][ids == uniq[u]])`` as static
     gather+reshape+sum levels with fan-in <= cap per level (all numpy,
     vectorized — venice has ~10M pair rows).
+
+    ``adaptive=True`` shrinks each level's fan-in toward the median group
+    size (power of two, >= 2), bounding the padded-row waste even for
+    low-fan-in (unstructured-visibility) id distributions — at the cost
+    of one or two extra levels. Sharded callers keep a fixed cap (the
+    level structure must match across shards).
 
     Returns (levels, uniq_ids (n_uniq,)) with levels as raw
     ``(src ndarray, n_dest, cap)`` tuples (callers may pad/remap before
@@ -83,7 +90,11 @@ def _hierarchical_sum_plan(
     n_prev = n_rows
     cur_counts = counts.astype(np.int64)
     cur_rows = raw_rows[order].astype(np.int64)  # grouped by id
+    max_cap = cap
     while True:
+        if adaptive and len(cur_counts):
+            med = max(int(np.median(cur_counts)), 2)
+            cap = min(max_cap, 1 << int(np.ceil(np.log2(med))))
         n_dest = len(cur_counts)
         n_d = (cur_counts + cap - 1) // cap  # sub-rows per destination
         sub_start = np.concatenate([[0], np.cumsum(n_d)[:-1]]).astype(np.int64)
@@ -122,6 +133,26 @@ def _apply_hierarchical_sum(levels: List[_SumLevel], values: jnp.ndarray):
         g = jnp.concatenate([cur, zero])[lvl.src]
         cur = g.reshape(lvl.n_dest, lvl.cap, -1).sum(axis=1)
     return cur
+
+
+def _check_level0_waste(levels, n_rows: int, factor: float = 3.0):
+    """Reject pathological (unstructured) visibility: when unique camera
+    pairs have tiny fan-in (every point seeing random cameras), the
+    level-0 padded-gather form inflates to n_uniq*cap rows — measured
+    blowing a 1M-point random-visibility case to a 16 GB intermediate.
+    Real BA visibility is structured (venice: 7112 unique pairs, fan-in
+    ~1400); structured cases sit near 1.0x here."""
+    if levels:
+        src, n_dest, cap = levels[0]
+        # only material sizes: a few hundred KB of padding on a tiny (or
+        # tiny-per-shard) problem is irrelevant and must not reject it
+        if n_dest * cap >= (1 << 20) and n_dest * cap > factor * max(
+            n_rows, 1
+        ):
+            raise ValueError(
+                "unique-pair fan-in too low for the hierarchical padded "
+                f"sum ({n_dest * cap} padded rows vs {n_rows} pair rows)"
+            )
 
 
 def _uniformize_shard_levels(per_shard, n_rows0: int, cap: int):
@@ -305,9 +336,11 @@ class ExplicitSchurPlan:
             rows = np.nonzero(pair_id_g >= 0)[0]
             self.n_pair_rows = len(pair_id_g)
             levels, uniq_l = _hierarchical_sum_plan(
-                pair_id_g[rows], rows, self.n_pair_rows, cap=pair_cap
+                pair_id_g[rows], rows, self.n_pair_rows, cap=pair_cap,
+                adaptive=True,
             )
             assert len(uniq_l) == n_uniq
+            _check_level0_waste(levels, self.n_pair_rows)
             self.levels = _freeze_levels(levels)
         else:
             self._plan_sharded(
@@ -435,6 +468,8 @@ class ExplicitSchurPlan:
                 _hierarchical_sum_plan(pair_id_s[rr], rr, n_rows0, cap=cap)
             )
 
+        for lv, _ in per_shard_plans:
+            _check_level0_waste(lv, n_rows0)
         stacked, shapes, n_last = _uniformize_shard_levels(
             per_shard_plans, n_rows0, cap
         )
