@@ -1064,11 +1064,19 @@ class SchurSolver:
             #
             # 1. JITTERED REFACTOR: Cholesky of S + delta*I in the
             #    equilibrated space (pivots ~1, so delta is relative),
-            #    delta escalating 1e-5 -> 1e-3 -> 1e-1 (f32 assembly noise
-            #    on a 16k system can push negative eigenvalues past 1e-3;
-            #    even a 0.1 bump is a valid, merely more conservative
+            #    delta escalating 1e-3 -> 1e-1. Why these rungs: for a
+            #    gauge-free BA problem the equilibrated damped S has
+            #    relative eigenvalues ~ mu*scale along the 7 gauge
+            #    directions (3e-5 at venice radius 3e4) — BELOW f32
+            #    Cholesky stability (n*eps ~ 2e-3 at n=16k), so the plain
+            #    factor fails at nearly every healthy radius and a 1e-5
+            #    rung is always still inside the noise (measured: it never
+            #    succeeded at venice; each doomed factor costs ~90 ms).
+            #    Even a 0.1 bump is a valid, merely more conservative
             #    descent step — strictly better than the reference's
-            #    wasted LinearSolverFailure step). Adding delta*I equals
+            #    wasted LinearSolverFailure step (venice rows with
+            #    delta=0.1 were accepted at tr_ratio ~1.0). Adding
+            #    delta*I equals
             #    adding delta*D to the raw S — a whisker of extra Tikhonov
             #    damping on the cameras, far below the LM damping that
             #    matters — so the step solves a negligibly-more-damped
@@ -1081,7 +1089,7 @@ class SchurSolver:
             #    factors fail.
             def _retry_cond(c):
                 dx, delta, k = c
-                return (~jnp.all(jnp.isfinite(dx))) & (k < 3)
+                return (~jnp.all(jnp.isfinite(dx))) & (k < 2)
 
             def _retry_body(c):
                 dx, delta, k = c
@@ -1095,7 +1103,7 @@ class SchurSolver:
             dx_f, _, n_retries = jax.lax.while_loop(
                 _retry_cond,
                 _retry_body,
-                (dx_f, jnp.asarray(1e-5, s.dtype), jnp.zeros((), jnp.int32)),
+                (dx_f, jnp.asarray(1e-3, s.dtype), jnp.zeros((), jnp.int32)),
             )
             bad = ~jnp.all(jnp.isfinite(dx_f))
             if len(self.ret_blocks) == 1:
