@@ -60,6 +60,10 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
                 "device loop supports LEVENBERG_MARQUARDT only"
             )
         self.chunk_iterations = int(chunk_iterations)
+        if self.schur_solver is not None:
+            # the while_loop carry holds the prep; the hoisted explicit-S
+            # grid (~1 GB at venice) OOMs the carry — rebuild per solve
+            self.schur_solver.hoist_explicit_grid = False
         self._build_device_loop()
 
     def _linearize_parts(self, state, scale_prev=None):

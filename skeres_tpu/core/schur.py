@@ -111,6 +111,12 @@ class SchurSolver:
         self.refinement_iterations = refinement_iterations
         self.max_power_series_terms = max_power_series_terms
         self.spse_tolerance = spse_tolerance
+        # hoist the explicit-S point grid into prepare() (1x per
+        # linearization). The device-loop minimizer turns this OFF: its
+        # lax.while_loop carry would hold the ~1 GB venice grid across
+        # iterations (OOM, measured r4); rebuilding per damped solve costs
+        # ~30 ms with the pair kernel.
+        self.hoist_explicit_grid = True
         program = evaluator.program
 
         elim = [i for i, g in enumerate(program.groups) if g.schur_group == 0]
@@ -540,7 +546,7 @@ class SchurSolver:
             cam[bi] = self._sorted_cam_jac(bi, per_batch[bi][1])
         prep = dict(per_batch=per_batch, cam=cam, ete0=ete0)
         gplan = self.explicit_plan or self.cluster_plan
-        if gplan is not None:
+        if gplan is not None and self.hoist_explicit_grid:
             # hoisted mu-independent half of explicit-S assembly: the flat
             # A = F^T E rows and their point grid(s). Rejected-step
             # re-solves (new mu, same linearization) then pay only the

@@ -121,6 +121,24 @@ def main():
             "memory": mem,
         },
     }
+    # config-5 denominator: the measured scipy stand-in at 1/3 venice,
+    # extrapolated O(obs) to this run's scale (weak, clearly labeled —
+    # see BASELINE_MEASURED_VENICE_THIRD.json / BENCH_EXTRA.md)
+    base_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BASELINE_MEASURED_VENICE_THIRD.json",
+    )
+    if os.path.exists(base_path) and out["value"]:
+        with open(base_path) as f:
+            base = json.load(f)
+        base_sps = base["steps_per_sec"] * (
+            base["scale_vs_venice"] * 5_000_000.0 / max(bal.num_observations, 1)
+        )
+        out["vs_baseline"] = round(out["value"] / base_sps, 1)
+        out["extra"]["baseline"] = {
+            "solver": base["solver"] + " [extrapolated O(obs) from 1/3 scale]",
+            "steps_per_sec": base_sps,
+        }
     print(json.dumps(out))
     print(summary.full_report())
 
