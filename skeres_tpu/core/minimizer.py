@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from skeres_tpu.core.evaluator import Evaluator
-from skeres_tpu.ops.small_einsum import vpu_einsum
 from skeres_tpu.core.linear_solvers import (
     lm_diagonal,
     preconditioned_conjugate_gradients,
@@ -239,13 +238,17 @@ class TrustRegionMinimizer:
             )
         if st == LinearSolverType.CGNR:
             d = lm_diagonal(diag, mu, o.min_lm_diagonal, o.max_lm_diagonal)
+            from skeres_tpu.core.evaluator import BatchBlocks
+
+            blocks = [
+                BatchBlocks(r, jac, idx) for (r, jac, idx) in data
+            ]
 
             def matvec(v):
-                out = d * v
-                for bi, (r, jac, idx) in enumerate(data):
-                    jv = vpu_einsum("bmi,bi->bm", jac, self.ev.v_rows(bi, v))
-                    out = out.at[idx].add(vpu_einsum("bmi,bm->bi", jac, jv))
-                return out
+                # planned scatter-free reductions (ops/segment_reduce.py)
+                # — XLA scatter-add serializes on TPU and dominated the
+                # CGNR profile
+                return d * v + self.ev.jtj_matvec(blocks, v)
 
             m_inv = 1.0 / jnp.maximum(diag + d, jnp.finfo(g.dtype).tiny)
             return preconditioned_conjugate_gradients(
@@ -305,11 +308,10 @@ class TrustRegionMinimizer:
             j_dense, _ = data
             return j_dense.T @ (j_dense @ dx)
         if st == LinearSolverType.CGNR:
-            out = jnp.zeros_like(dx)
-            for r, jac, idx in data:
-                jv = vpu_einsum("bmi,bi->bm", jac, dx[idx])
-                out = out.at[idx].add(vpu_einsum("bmi,bm->bi", jac, jv))
-            return out
+            from skeres_tpu.core.evaluator import BatchBlocks
+
+            blocks = [BatchBlocks(r, jac, idx) for (r, jac, idx) in data]
+            return self.ev.jtj_matvec(blocks, dx)
         if st in (LinearSolverType.DENSE_SCHUR, LinearSolverType.ITERATIVE_SCHUR):
             return self.schur_solver.jtj_matvec(data, dx)
         raise NotImplementedError(st)
