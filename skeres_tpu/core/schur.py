@@ -1284,7 +1284,24 @@ class SchurSolver:
         rows = jnp.arange(cs * f).reshape(cs, f)
         mats = mats.at[:, rows[:, :, None], rows[:, None, :]].add(db_sel)
 
-        chol = jax.lax.linalg.cholesky(mats)  # batched (ncl, cs*f, cs*f)
+        # f32 robustness (same inherent issue as the full-S factor: on a
+        # gauge-free problem near-null directions sit below f32 Cholesky
+        # stability, and a preconditioner doesn't need exactness): boost
+        # the diagonal by 1e-3 relative, and fall back per-batch to a
+        # 1e-1 boost where the factor still comes out non-finite
+        ridx = jnp.arange(cs * f)
+        dvec = mats[:, ridx, ridx]  # (ncl, cs*f)
+        dsafe = jnp.maximum(dvec, jnp.finfo(mats.dtype).tiny)
+
+        def boosted(eps_rel):
+            m = mats.at[:, ridx, ridx].add(eps_rel * dsafe)
+            return jax.lax.linalg.cholesky(m)
+
+        chol1 = boosted(1e-3)
+        bad = ~jnp.all(
+            jnp.isfinite(chol1), axis=(1, 2), keepdims=True
+        )  # (ncl, 1, 1)
+        chol = jnp.where(bad, boosted(1e-1), chol1)
         pos = self._cluster_pos_of_cam
 
         def precond(v):
