@@ -110,6 +110,7 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
                 scale,
                 radius,
                 decrease_factor,
+                jitter,
                 it,
                 term,
                 n_succ,
@@ -121,7 +122,9 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
             # -- damped solve + candidate ---------------------------------
             gs = g * scale
             diag_s = diag * scale * scale
-            y, lin_iters = self._solve_scaled(data, gs, diag_s, radius, scale)
+            y, lin_iters, jitter = self._solve_scaled(
+                data, gs, diag_s, radius, scale, jitter
+            )
             dx = y * scale
 
             cand = ev.plus(state, dx)
@@ -236,6 +239,7 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
                 scale2,
                 new_radius,
                 new_decrease,
+                jitter,
                 it + 1,
                 term2,
                 n_succ + jnp.where(accepted, 1, 0),
@@ -245,20 +249,23 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
             )
 
         def cond(carry):
-            it, term = carry[8], carry[9]
+            it, term = carry[9], carry[10]
             return (it < K) & (term == _RUNNING)
 
         def run_chunk(
-            state, cost, g, diag, data, scale, radius, decrease_factor, consts
+            state, cost, g, diag, data, scale, radius, decrease_factor,
+            jitter, consts
         ):
             # consts: ev.device_consts passed as an argument (jit may not
             # close over globally-sharded arrays under jax.distributed)
             with ev.bind(consts):
                 return _run_chunk(
-                    state, cost, g, diag, data, scale, radius, decrease_factor
+                    state, cost, g, diag, data, scale, radius,
+                    decrease_factor, jitter
                 )
 
-        def _run_chunk(state, cost, g, diag, data, scale, radius, decrease_factor):
+        def _run_chunk(state, cost, g, diag, data, scale, radius,
+                       decrease_factor, jitter):
             hist = (
                 jnp.full((K,), jnp.nan, dtype),
                 jnp.full((K,), jnp.nan, dtype),
@@ -277,6 +284,7 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
                 scale,
                 radius,
                 decrease_factor,
+                jitter,
                 jnp.zeros((), jnp.int32),
                 jnp.asarray(_RUNNING, jnp.int32),
                 jnp.zeros((), jnp.int32),
@@ -334,7 +342,8 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
         )
         scalar = jax.ShapeDtypeStruct((), dtype)
         self._run_chunk_jit = self._run_chunk_jit.lower(
-            state_s, cost_s, g_s, diag_s, data_s, scale_s, scalar, scalar, consts_s
+            state_s, cost_s, g_s, diag_s, data_s, scale_s, scalar, scalar,
+            scalar, consts_s
         ).compile()
         self._run_chunk = lambda *args: self._run_chunk_jit(
             *args, ev.device_consts
@@ -380,6 +389,7 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
             dtype,
         )
         decrease_factor = jnp.asarray(2.0, dtype)
+        jitter = jnp.zeros((), dtype)  # factor-jitter ratchet carry
 
         it_total = 0
         term_code = _RUNNING
@@ -389,7 +399,8 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
                 s.message = "Maximum solver time reached."
                 return state
             carry = self._run_chunk(
-                state, cost, g, diag, data, scale, radius, decrease_factor
+                state, cost, g, diag, data, scale, radius, decrease_factor,
+                jitter
             )
             (
                 state,
@@ -400,6 +411,7 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
                 scale,
                 radius,
                 decrease_factor,
+                jitter,
                 it_chunk,
                 term,
                 n_succ,

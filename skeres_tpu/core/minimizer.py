@@ -211,14 +211,25 @@ class TrustRegionMinimizer:
             return self.schur_solver.solver_data(blocks)
         raise NotImplementedError(st)
 
-    def _solve_damped(self, data, g, diag, radius):
-        """Solve (J^T J + clamp(diag)/radius) dx = -g in *scaled* space."""
+    def _solve_damped(self, data, g, diag, radius, jitter=None):
+        """Solve (J^T J + clamp(diag)/radius) dx = -g in *scaled* space.
+
+        Returns (step, iterations, jitter_used). ``jitter`` is the Schur
+        path's factor-jitter ratchet (see SchurSolver.solve_damped);
+        other solvers pass it through unchanged."""
         o = self.options
         st = self.solver_type
         mu = 1.0 / radius
+        if jitter is None:
+            jitter = jnp.zeros((), g.dtype)
+        if st in (LinearSolverType.DENSE_SCHUR, LinearSolverType.ITERATIVE_SCHUR):
+            return self.schur_solver.solve_damped(
+                data, g, diag, mu, o.min_lm_diagonal, o.max_lm_diagonal,
+                jitter0=jitter,
+            )
         if st == LinearSolverType.DENSE_NORMAL_CHOLESKY:
             (jtj,) = data
-            return solve_dense_normal_cholesky(
+            y, it = solve_dense_normal_cholesky(
                 jtj,
                 g,
                 diag,
@@ -231,11 +242,13 @@ class TrustRegionMinimizer:
                     else 0
                 ),
             )
+            return y, it, jitter
         if st == LinearSolverType.DENSE_QR:
             j_dense, r_dense = data
-            return solve_dense_qr(
+            y, it = solve_dense_qr(
                 j_dense, r_dense, diag, mu, o.min_lm_diagonal, o.max_lm_diagonal
             )
+            return y, it, jitter
         if st == LinearSolverType.CGNR:
             d = lm_diagonal(diag, mu, o.min_lm_diagonal, o.max_lm_diagonal)
             from skeres_tpu.core.evaluator import BatchBlocks
@@ -251,7 +264,7 @@ class TrustRegionMinimizer:
                 return d * v + self.ev.jtj_matvec(blocks, v)
 
             m_inv = 1.0 / jnp.maximum(diag + d, jnp.finfo(g.dtype).tiny)
-            return preconditioned_conjugate_gradients(
+            y, it = preconditioned_conjugate_gradients(
                 matvec,
                 -g,
                 lambda v: m_inv * v,
@@ -259,10 +272,7 @@ class TrustRegionMinimizer:
                 jnp.asarray(o.eta, dtype=g.dtype),
                 o.min_linear_solver_iterations,
             )
-        if st in (LinearSolverType.DENSE_SCHUR, LinearSolverType.ITERATIVE_SCHUR):
-            return self.schur_solver.solve_damped(
-                data, g, diag, mu, o.min_lm_diagonal, o.max_lm_diagonal
-            )
+            return y, it, jitter
         raise NotImplementedError(st)
 
     # -- Schur scaled-prep helpers (hoist mu-independent work) -------------
@@ -277,11 +287,11 @@ class TrustRegionMinimizer:
             return self.schur_solver.prepare(self._scale_data(data, scale))
         return data
 
-    def _solve_scaled(self, pdata, gs, diag_s, radius, scale):
+    def _solve_scaled(self, pdata, gs, diag_s, radius, scale, jitter=None):
         if self.schur_solver is not None:
-            return self._solve_damped(pdata, gs, diag_s, radius)
+            return self._solve_damped(pdata, gs, diag_s, radius, jitter)
         return self._solve_damped(
-            self._scale_data(pdata, scale), gs, diag_s, radius
+            self._scale_data(pdata, scale), gs, diag_s, radius, jitter
         )
 
     def _model_quadratic(self, pdata, dx, scale):
@@ -358,7 +368,7 @@ class TrustRegionMinimizer:
                 # this reuse is dogleg's raison d'etre)
                 gs = g * scale
                 diag_s = diag * scale * scale
-                y_gn, _ = self._solve_scaled(
+                y_gn, _, _ = self._solve_scaled(
                     data, gs, diag_s, jnp.asarray(1e32, dtype=dtype), scale
                 )
                 gn = (y_gn,)
@@ -366,11 +376,15 @@ class TrustRegionMinimizer:
                 gn = ()
             return (cost, g, diag, data, scale, g_max_norm, g_norm) + gn
 
-        def solve_step(state, data, g, diag, scale, radius, consts, *gn):
+        def solve_step(state, data, g, diag, scale, ctrl, consts, *gn):
+            # ctrl: (2,) device array [trust_region_radius, jitter_prev] —
+            # ONE per-iteration host->device transfer (each separate
+            # transfer is a ~28 ms relay round trip on this chip)
             with ev.bind(consts):
-                return _solve_step(state, data, g, diag, scale, radius, *gn)
+                return _solve_step(state, data, g, diag, scale, ctrl, *gn)
 
-        def _solve_step(state, data, g, diag, scale, radius, *gn):
+        def _solve_step(state, data, g, diag, scale, ctrl, *gn):
+            radius, jitter_prev = ctrl[0], ctrl[1]
             # scaled-space damped solve: J_s = J S  (S = diag(scale))
             gs = g * scale
             diag_s = diag * scale * scale
@@ -382,9 +396,10 @@ class TrustRegionMinimizer:
                     )
                 else:
                     y, lin_iters = self._dogleg_step(data, scale, gs, y_gn, radius)
+                jitter_used = jitter_prev
             else:
-                y, lin_iters = self._solve_scaled(
-                    data, gs, diag_s, radius, scale
+                y, lin_iters, jitter_used = self._solve_scaled(
+                    data, gs, diag_s, radius, scale, jitter_prev
                 )
             dx = y * scale
 
@@ -413,6 +428,7 @@ class TrustRegionMinimizer:
                 step_norm,
                 lin_iters,
                 dx,
+                jitter_used,
             )
 
         def try_step(new_state, consts):
@@ -437,9 +453,9 @@ class TrustRegionMinimizer:
             self._zero_scale if scale_prev is None else scale_prev,
             self._flag_false if scale_prev is None else self._flag_true,
         )
-        self.solve_step = lambda state, data, g, diag, scale, radius, *gn: (
+        self.solve_step = lambda state, data, g, diag, scale, ctrl, *gn: (
             self._solve_step_jit(
-                state, data, g, diag, scale, radius, ev.device_consts, *gn
+                state, data, g, diag, scale, ctrl, ev.device_consts, *gn
             )
         )
         self.try_step = lambda new_state: self._try_step_jit(
@@ -479,17 +495,17 @@ class TrustRegionMinimizer:
         consts_s = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), consts
         )
-        scalar = jax.ShapeDtypeStruct((), dtype)
+        ctrl_s = jax.ShapeDtypeStruct((2,), dtype)
         solve_out = jax.eval_shape(
             self._solve_step_jit,
-            state_s, data_s, g_s, diag_s, scale_s, scalar, consts_s, *gn_s,
+            state_s, data_s, g_s, diag_s, scale_s, ctrl_s, consts_s, *gn_s,
         )
         self._solve_step_jit = self._solve_step_jit.lower(
-            state_s, data_s, g_s, diag_s, scale_s, scalar, consts_s, *gn_s
+            state_s, data_s, g_s, diag_s, scale_s, ctrl_s, consts_s, *gn_s
         ).compile()
-        self.solve_step = lambda state, data, g, diag, scale, radius, *gn: (
+        self.solve_step = lambda state, data, g, diag, scale, ctrl, *gn: (
             self._solve_step_jit(
-                state, data, g, diag, scale, radius, ev.device_consts, *gn
+                state, data, g, diag, scale, ctrl, ev.device_consts, *gn
             )
         )
         new_state_s = jax.tree_util.tree_map(
@@ -694,6 +710,7 @@ class TrustRegionMinimizer:
         )
         decrease_factor = 2.0
         num_consecutive_invalid_steps = 0
+        self._jitter = 0.0  # factor-jitter ratchet (Schur solvers)
 
         t0 = time.time()
         self._prepare_for_evaluation(True, True)
@@ -754,15 +771,19 @@ class TrustRegionMinimizer:
             iter_start = time.time()
 
             t0 = time.time()
-            radius_dev = jnp.asarray(radius, dtype=self.ev.dtype)
+            ctrl = jnp.asarray([radius, self._jitter], dtype=self.ev.dtype)
             (
                 new_state,
                 model_cost_change,
                 step_norm,
                 lin_iters,
                 dx,
-            ) = self.solve_step(state, data, g, diag, scale, radius_dev, *gn)
-            jax.block_until_ready(new_state)
+                jitter_used,
+            ) = self.solve_step(state, data, g, diag, scale, ctrl, *gn)
+            if o.detailed_step_timings:
+                # exact per-phase split (reference Summary semantics); the
+                # sync is a relay round trip — bench harnesses turn it off
+                jax.block_until_ready(new_state)
             step_solver_time = time.time() - t0
             s.linear_solver_time_in_seconds += step_solver_time
             s.num_linear_solves += 1
@@ -773,12 +794,30 @@ class TrustRegionMinimizer:
             new_cost, x_norm = self.try_step(new_state)
             # one batched device->host fetch: per-scalar pulls are full
             # round-trips (dominant over a network-attached chip)
-            new_cost, model_cost_change, step_norm_f, x_norm_f, lin_iters = (
+            (
+                new_cost,
+                model_cost_change,
+                step_norm_f,
+                x_norm_f,
+                lin_iters,
+                jitter_f,
+            ) = (
                 float(v)
                 for v in jax.device_get(
-                    (new_cost, model_cost_change, step_norm, x_norm, lin_iters)
+                    (
+                        new_cost,
+                        model_cost_change,
+                        step_norm,
+                        x_norm,
+                        lin_iters,
+                        jitter_used,
+                    )
                 )
             )
+            # factor-jitter ratchet: start the next damped solve's ladder
+            # at the last successful delta (skips doomed plain factors on
+            # gauge-free problems — ~90 ms each at venice scale)
+            self._jitter = jitter_f
             s.residual_evaluation_time_in_seconds += time.time() - t0
             s.num_residual_evaluations += 1
 

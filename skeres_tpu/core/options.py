@@ -164,6 +164,14 @@ class SolverOptions:
     # CLUSTER_JACOBI preconditioner: cameras per cluster (contiguous
     # index ranges; see PreconditionerType.CLUSTER_JACOBI)
     cluster_jacobi_size: int = 64
+    # True (default): synchronize between the damped-solve and
+    # candidate-evaluation dispatches so Summary's per-phase times
+    # (linear_solver / residual_evaluation) are exact, like the
+    # reference. False: let the dispatches pipeline — over a
+    # network-attached chip each synchronization is a full relay round
+    # trip (~28 ms here), material for small problems; the combined
+    # execution time then lands in residual_evaluation_time.
+    detailed_step_timings: bool = True
     # write a Perfetto/XProf trace of the minimizer to this directory
     # (SURVEY.md §6 tracing; view with xprof / perfetto)
     trace_dir: Optional[str] = None

@@ -1038,10 +1038,24 @@ class SchurSolver:
 
     # -- public interface used by the minimizer -----------------------------------
 
-    def solve_damped(self, data, g, diag, mu, min_diagonal, max_diagonal):
+    def solve_damped(
+        self, data, g, diag, mu, min_diagonal, max_diagonal, jitter0=None
+    ):
+        """Returns (dx, linear_solver_iterations, jitter_used).
+
+        ``jitter0``: device scalar — the caller's RATCHET: start the
+        jittered-refactor ladder at the last successful delta instead of
+        re-paying the doomed plain factor every solve (on a gauge-free BA
+        problem the plain f32 factor fails at nearly every healthy
+        radius; see the ladder NOTE below). ``jitter_used`` feeds the
+        next call."""
+        dtype = g.dtype
+        if jitter0 is None:
+            jitter0 = jnp.zeros((), dtype)
         d = lm_diagonal(diag, mu, min_diagonal, max_diagonal)
         asm = self._assemble(data, g, d)
         rhs = self._schur_rhs(asm)
+        jitter_out = jitter0.astype(dtype)  # pass-through (iterative path)
 
         if not self.iterative:
             s = self._dense_s(asm)
@@ -1054,7 +1068,11 @@ class SchurSolver:
             )
             s = s / d_eq[:, None] / d_eq[None, :]
             rhs_eq = rhs / d_eq
-            dx_f, solve = self._factor_solve(s, rhs_eq)
+            n = s.shape[0]
+            eye0 = (
+                jnp.arange(n)[:, None] == jnp.arange(n)[None, :]
+            ).astype(s.dtype)
+            dx_f, solve = self._factor_solve(s + jitter0 * eye0, rhs_eq)
             # mixed-precision iterative refinement on the reduced camera
             # system (reference: use_mixed_precision_solves)
             for _ in range(self.refinement_iterations):
@@ -1094,22 +1112,33 @@ class SchurSolver:
             # 2. capped PCG on the explicit S (below) if even the jittered
             #    factors fail.
             def _retry_cond(c):
-                dx, delta, k = c
+                dx, delta, used, k = c
                 return (~jnp.all(jnp.isfinite(dx))) & (k < 2)
 
             def _retry_body(c):
-                dx, delta, k = c
-                n = s.shape[0]
-                eye = (
-                    jnp.arange(n)[:, None] == jnp.arange(n)[None, :]
-                ).astype(s.dtype)
-                x2, _ = self._factor_solve(s + delta * eye, rhs_eq)
-                return x2, delta * 100.0, k + 1
+                dx, delta, used, k = c
+                x2, _ = self._factor_solve(s + delta * eye0, rhs_eq)
+                return (
+                    x2,
+                    jnp.minimum(delta * 100.0, 0.1),
+                    delta,
+                    k + 1,
+                )
 
-            dx_f, _, n_retries = jax.lax.while_loop(
+            # the ratchet: retries escalate from (at least) two decades
+            # above the caller's starting delta
+            delta_start = jnp.clip(
+                jnp.maximum(jitter0 * 100.0, 1e-3), 0.0, 0.1
+            ).astype(s.dtype)
+            dx_f, _, jitter_used, n_retries = jax.lax.while_loop(
                 _retry_cond,
                 _retry_body,
-                (dx_f, jnp.asarray(1e-3, s.dtype), jnp.zeros((), jnp.int32)),
+                (
+                    dx_f,
+                    delta_start,
+                    jitter0.astype(s.dtype),
+                    jnp.zeros((), jnp.int32),
+                ),
             )
             bad = ~jnp.all(jnp.isfinite(dx_f))
             if len(self.ret_blocks) == 1:
@@ -1148,6 +1177,7 @@ class SchurSolver:
             )
             dx_f = dx_f / d_eq  # undo the equilibration
             iters = jnp.where(bad, 32, 1 + n_retries).astype(jnp.int32)
+            jitter_out = jitter_used.astype(dtype)
         else:
             s_explicit = None
             if self.use_explicit:
@@ -1253,7 +1283,7 @@ class SchurSolver:
         dx = dx.at[
             self.elim_offset + jnp.arange(self.elim_span)
         ].set(dx_e.reshape(-1))
-        return dx, iters
+        return dx, iters, jitter_out
 
     def _cluster_jacobi_precond(self, asm):
         """CLUSTER_JACOBI: factor the block-diagonal-of-S by camera

@@ -181,7 +181,7 @@ def test_damped_step_matches_normal_equations():
         diag_s = diag * scale * scale
         # linearize() returns pre-scaled Schur prep (or raw data for the
         # dense solvers); _solve_scaled dispatches correctly for both
-        y, _ = minimizer._solve_scaled(
+        y, _, _ = minimizer._solve_scaled(
             data, gs, diag_s, jnp.asarray(radius, ev.dtype), scale
         )
         np.testing.assert_allclose(

@@ -96,7 +96,7 @@ def test_padded_layouts_survive_chunk_padding():
         _, blocks = jax.jit(ev_.blocks)(state)
         g, diag = jax.jit(ev_.gradient_and_diag)(blocks)
         data = solver.solver_data(blocks)
-        dx, _ = jax.jit(
+        dx, _, _ = jax.jit(
             lambda: solver.solve_damped(data, g, diag, 1e-3, 1e-6, 1e32)
         )()
         return np.asarray(dx)

@@ -90,7 +90,7 @@ def test_schur_step_equals_dense_step(small_bal):
 
     schur = SchurSolver(ev, iterative=False)
     data = schur.solver_data(blocks)
-    schur_step, _ = schur.solve_damped(
+    schur_step, _, _ = schur.solve_damped(
         data, g, diag, jnp.asarray(mu, dtype=ev.dtype), 1e-6, 1e32
     )
     np.testing.assert_allclose(
@@ -180,10 +180,10 @@ def test_sorted_camera_layout_matches_unsorted():
     assert not plain.sorted_info and srt.sorted_info
 
     data = plain.solver_data(blocks)
-    dx0, _ = jax.jit(
+    dx0, _, _ = jax.jit(
         lambda: plain.solve_damped(data, g, diag, 1e-3, 1e-6, 1e32)
     )()
-    dx1, _ = jax.jit(
+    dx1, _, _ = jax.jit(
         lambda: srt.solve_damped(data, g, diag, 1e-3, 1e-6, 1e32)
     )()
     # both paths converge exactly (58 f64 CG iterations); the remaining
@@ -357,7 +357,7 @@ def test_dense_schur_factor_failure_cg_fallback(small_bal):
 
     ref_solver = SchurSolver(ev, iterative=False)
     data = ref_solver.solver_data(blocks)
-    dx_ref, it_ref = jax.jit(
+    dx_ref, it_ref, _ = jax.jit(
         lambda: ref_solver.solve_damped(data, g, diag, 1e-3, 1e-6, 1e32)
     )()
     assert int(it_ref) == 1  # healthy factor path
@@ -372,7 +372,7 @@ def test_dense_schur_factor_failure_cg_fallback(small_bal):
     import jax.numpy as jnp  # noqa: F811
 
     broken._factor_solve = nan_factor
-    dx_cg, it_cg = jax.jit(
+    dx_cg, it_cg, _ = jax.jit(
         lambda: broken.solve_damped(data, g, diag, 1e-3, 1e-6, 1e32)
     )()
     assert int(it_cg) == 32  # fallback engaged
@@ -410,7 +410,7 @@ def test_factor_failure_jittered_refactor_recovers_step():
     schur = SchurSolver(ev, iterative=False)
     schur.dense_w = None  # force the explicit-S path
     data = schur.solver_data(blocks)
-    dx, iters = jax.jit(
+    dx, iters, _ = jax.jit(
         lambda: schur.solve_damped(
             data, g, diag, jnp.asarray(1e-32, ev.dtype), 1e-6, 1e32
         )

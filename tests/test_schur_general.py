@@ -119,7 +119,7 @@ def test_general_structure_damped_step_matches_dense(iterative):
     y_star = np.linalg.solve(lhs, -(np.asarray(g, np.float64) * np.asarray(scale, np.float64)))
 
     gs = g * scale
-    y, _ = minimizer._solve_scaled(
+    y, _, _ = minimizer._solve_scaled(
         data, gs, jnp.asarray(diag_s, ev.dtype), jnp.asarray(radius, ev.dtype),
         scale,
     )
