@@ -64,6 +64,17 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
             # the while_loop carry holds the prep; the hoisted explicit-S
             # grid (~1 GB at venice) OOMs the carry — rebuild per solve
             self.schur_solver.hoist_explicit_grid = False
+            if self.schur_solver.sorted_info:
+                # KNOWN TPU ISSUE (measured, r4): the camera-padded-layout
+                # consumers return finite GARBAGE steps when executed
+                # inside this lax.while_loop at >=600-camera scale — any
+                # radius, DENSE and ITERATIVE alike — while the identical
+                # computation is correct outside the loop and on CPU, and
+                # regardless of whether the padded copies are carried 3D
+                # or flat. Until the underlying XLA/while-loop interaction
+                # is understood, the device loop falls back to the generic
+                # gather-plan reductions (correct, somewhat slower).
+                self.schur_solver.sorted_info = {}
         self._build_device_loop()
 
     def _linearize_parts(self, state, scale_prev=None):

@@ -609,29 +609,36 @@ class SchurSolver:
         )
 
     def _sorted_cam_jac(self, bi, jac):
-        """Camera-padded copy of a batch Jacobian: (nc*K, m, T) locally, or
-        (ns, nc*K, m, T) row-sharded under a mesh — built inside shard_map
-        so the placement gather stays shard-local (no allgather).
+        """Camera-padded copy of a batch Jacobian, stored FLAT:
+        (nc*K, m*T) locally, or (ns, nc*K, m*T) row-sharded under a mesh —
+        built inside shard_map so the placement gather stays shard-local
+        (no allgather). Consumers reshape to (rows, m, T) at the use site
+        (:meth:`_cam_reduce`).
 
-        The gather runs on the FLAT (rows, m*T) view: gathering
-        (rows, m, T) directly lets XLA pick a tile-padded 3D layout for
-        the result (tiny trailing dims), turning a ~40 ms row-limited
-        gather into a >1 s relayout at venice scale."""
+        Why flat: gathering (rows, m, T) directly lets XLA pick a
+        tile-padded 3D layout for the result (tiny trailing dims), turning
+        a ~40 ms row-limited gather into a >1 s relayout at venice scale.
+        (The flat form is also the only shape ever placed in loop-carried
+        state; note the device loop disables this layout entirely — see
+        DeviceLoopMinimizer — after a measured TPU mis-execution of the
+        padded-layout consumers inside lax.while_loop that persists
+        regardless of carry layout.)"""
         sinfo = self.sorted_info[bi]
         if sinfo["kind"] == "local":
             b, m, t = jac.shape
             flat = jac.reshape(b, m * t)
             zero_row = jnp.zeros((1, m * t), jac.dtype)
-            out = jnp.concatenate([flat, zero_row])[sinfo["src"]]
-            return out.reshape(-1, m, t)
+            return jnp.concatenate([flat, zero_row])[sinfo["src"]]
         from jax.sharding import PartitionSpec as P
 
         mesh = self.ev.mesh
         axis = mesh.axis_names[0]
+        b, m, t = jac.shape
 
         def body(jac_l, src_l):
-            z = jnp.zeros((1,) + jac_l.shape[1:], jac_l.dtype)
-            return jnp.concatenate([jac_l, z])[src_l[0]][None]
+            z = jnp.zeros((1, m * t), jac_l.dtype)
+            flat = jac_l.reshape(-1, m * t)
+            return jnp.concatenate([flat, z])[src_l[0]][None]
 
         return jax.shard_map(
             body,
@@ -645,11 +652,17 @@ class SchurSolver:
         pidx_pad, *rep) -> (nc*K,) + out_tail`` per-padded-row values,
         summed over each camera's K slots -> ``(nc,) + out_tail``. ``rep``
         are replicated operands (retained/point vectors). Under a mesh the
-        per-shard partial sums are combined by one psum."""
+        per-shard partial sums are combined by one psum.
+
+        ``cam`` arrives FLAT (rows, m*T) — see :meth:`_sorted_cam_jac` —
+        and is reshaped to (rows, m, T) here, inside the consuming
+        program, where XLA fuses it."""
         sinfo = self.sorted_info[bi]
         nc, K = sinfo["nc"], sinfo["K"]
+        m = self.ev.program.batches[bi].residual_dim
         if sinfo["kind"] == "local":
-            val = row_fn(cam, sinfo["pidx_pad"], *rep)
+            val = row_fn(cam.reshape(cam.shape[0], m, -1),
+                         sinfo["pidx_pad"], *rep)
             return val.reshape((nc, K) + out_tail).sum(axis=1)
         from jax.sharding import PartitionSpec as P
 
@@ -657,7 +670,8 @@ class SchurSolver:
         axis = mesh.axis_names[0]
 
         def body(cam_l, pidx_l, *rep_l):
-            val = row_fn(cam_l[0], pidx_l[0], *rep_l)
+            cam3 = cam_l[0].reshape(cam_l.shape[1], m, -1)
+            val = row_fn(cam3, pidx_l[0], *rep_l)
             return jax.lax.psum(
                 val.reshape((nc, K) + out_tail).sum(axis=1), axis
             )
