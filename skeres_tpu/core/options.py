@@ -194,11 +194,18 @@ class SolverOptions:
     #                                     Problem.set_schur_elimination_group
     #                                     (SURVEY §3.3 "declared, not
     #                                     discovered").
-    #   visibility_clustering_type,
+    #   visibility_clustering_type      partially covered: CLUSTER_JACOBI
+    #                                     exists with contiguous
+    #                                     camera-index clusters
+    #                                     (cluster_jacobi_size);
+    #                                     CANONICAL_VIEWS clustering is a
+    #                                     serial CPU graph algorithm with
+    #                                     no TPU mapping (documented
+    #                                     deviation). CLUSTER_TRIDIAGONAL /
+    #                                     SUBSET remain out of scope.
     #   residual_blocks_for_subset_preconditioner
-    #                                     N/A v1 — CLUSTER_*/SUBSET
-    #                                     preconditioners out of scope
-    #                                     (SURVEY §3.6).
+    #                                     N/A — SUBSET preconditioner out
+    #                                     of scope (SURVEY §3.6).
     #   line_search_interpolation_type,
     #   max/min_line_search_step_contraction
     #                                     N/A — the Wolfe/Armijo searches use

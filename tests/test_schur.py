@@ -410,7 +410,7 @@ def test_factor_failure_jittered_refactor_recovers_step():
     schur = SchurSolver(ev, iterative=False)
     schur.dense_w = None  # force the explicit-S path
     data = schur.solver_data(blocks)
-    dx, iters, _ = jax.jit(
+    dx, iters, jitter_used = jax.jit(
         lambda: schur.solve_damped(
             data, g, diag, jnp.asarray(1e-32, ev.dtype), 1e-6, 1e32
         )
@@ -419,6 +419,17 @@ def test_factor_failure_jittered_refactor_recovers_step():
     # at least one jitter retry actually ran (otherwise this fixture no
     # longer triggers the failure and must be re-tuned)
     assert int(iters) >= 2, int(iters)
+    assert float(jitter_used) > 0.0  # the ratchet records the used delta
+    # warm-started at the recorded delta, the solve succeeds first try
+    dx2, iters2, j2 = jax.jit(
+        lambda: schur.solve_damped(
+            data, g, diag, jnp.asarray(1e-32, ev.dtype), 1e-6, 1e32,
+            jitter0=jitter_used,
+        )
+    )()
+    assert bool(jnp.all(jnp.isfinite(dx2)))
+    assert int(iters2) == 1, int(iters2)
+    assert float(j2) == float(jitter_used)
 
 
 def test_cluster_jacobi_preconditioner():
