@@ -452,3 +452,17 @@ def test_pinned_and_disabled_jacobi_scaling():
         np.testing.assert_allclose(
             v, base, rtol=1e-3, atol=1e-8, err_msg=name
         )
+
+
+def test_detailed_step_timings_off_same_result():
+    """detailed_step_timings=False lets the solve/try dispatches pipeline
+    (throughput mode for network-attached chips); the trajectory must be
+    identical to the default."""
+    finals = []
+    for flag in (True, False):
+        problem, summary, _ = _solve_powell(
+            LinearSolverType.DENSE_QR, detailed_step_timings=flag
+        )
+        finals.append(summary.final_cost)
+        assert summary.termination_type == TerminationType.CONVERGENCE
+    np.testing.assert_allclose(finals[1], finals[0], rtol=1e-12, atol=1e-18)

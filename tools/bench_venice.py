@@ -88,6 +88,9 @@ def main():
         parameter_tolerance=0.0,
         use_explicit_schur_complement=args.explicit_schur,
         minimizer_progress_to_stdout=not args.device_loop,
+        # throughput run: let solve/try dispatches pipeline (each
+        # synchronization is a ~28 ms relay round trip on this chip)
+        detailed_step_timings=False,
     )
     summary = st.solve(options, problem)
     total = time.time() - t0
