@@ -1318,46 +1318,79 @@ class SchurSolver:
         mats = -plan.cluster_offdiag(uniq)  # (ncl, cs*f, cs*f)
 
         # per-camera diagonal blocks (F^T F - sum_r Y_r A_r^T + D_f) into
-        # the cluster slots; padded slots get identity so Cholesky is PD
+        # the cluster slots; padded slots get identity so Cholesky is PD.
+        # Placement is a pure GATHER + mask, never a scatter: the batched
+        # advanced-index scatter-add produced silently WRONG matrices on
+        # TPU (measured: the numpy-assembled mats were PD with min eig
+        # +1.6e-4 while the in-jit ones factored to an effective inverse
+        # norm ~1e15), consistent with this repo's no-scatter discipline.
         diag_blocks = self._schur_jacobi_blocks(asm)[0]  # (nc, f, f)
         db_flat = diag_blocks.reshape(-1, f * f)
         eye_row = jnp.eye(f, dtype=db_flat.dtype).reshape(1, f * f)
         db_sel = jnp.concatenate([db_flat, eye_row])[
             self._cluster_slot_cam
-        ].reshape(ncl, cs, f, f)
-        rows = jnp.arange(cs * f).reshape(cs, f)
-        mats = mats.at[:, rows[:, :, None], rows[:, None, :]].add(db_sel)
+        ].reshape(ncl, cs, f * f)
+        rr = jnp.arange(cs * f)
+        slot_i = rr // f  # (csf,)
+        same = slot_i[:, None] == slot_i[None, :]
+        col = (rr % f)[:, None] * f + (rr % f)[None, :]  # (csf, csf)
+        bd = db_sel[:, slot_i[:, None], col]  # (ncl, csf, csf) gather
+        mats = mats + jnp.where(same[None, :, :], bd, 0.0)
 
         # f32 robustness (same inherent issue as the full-S factor: on a
         # gauge-free problem near-null directions sit below f32 Cholesky
         # stability, and a preconditioner doesn't need exactness): boost
-        # the diagonal by 1e-3 relative, and fall back per-batch to a
-        # 1e-1 boost where the factor still comes out non-finite
+        # every diagonal slot by 1e-3 of the CLUSTER'S max diagonal — a
+        # per-slot relative boost is useless exactly where it matters
+        # (cancellation can leave a slot's diagonal near zero or negative,
+        # making its own 1e-3 vanish; measured on chip: the factor came
+        # out FINITE GARBAGE with an effective inverse norm ~1e15 and PCG
+        # blew up). Badness is judged by the factor's pivots against the
+        # boost actually added (isfinite alone misses the garbage case);
+        # bad clusters refactor with a 1e-1 boost.
         ridx = jnp.arange(cs * f)
         dvec = mats[:, ridx, ridx]  # (ncl, cs*f)
-        dsafe = jnp.maximum(dvec, jnp.finfo(mats.dtype).tiny)
+        dmax = jnp.maximum(
+            jnp.max(dvec, axis=1, keepdims=True),
+            jnp.finfo(mats.dtype).tiny,
+        )  # (ncl, 1)
+
+        eye_full = (rr[:, None] == rr[None, :]).astype(mats.dtype)
 
         def boosted(eps_rel):
-            m = mats.at[:, ridx, ridx].add(eps_rel * dsafe)
+            m = mats + (eps_rel * dmax)[:, :, None] * eye_full[None]
             return jax.lax.linalg.cholesky(m)
 
         chol1 = boosted(1e-3)
-        bad = ~jnp.all(
-            jnp.isfinite(chol1), axis=(1, 2), keepdims=True
-        )  # (ncl, 1, 1)
+        piv = chol1[:, ridx, ridx]  # (ncl, cs*f)
+        bad = (
+            ~jnp.all(jnp.isfinite(chol1), axis=(1, 2))
+            | (jnp.min(piv, axis=1) ** 2 < 0.25e-3 * dmax[:, 0])
+        )[:, None, None]
         chol = jnp.where(bad, boosted(1e-1), chol1)
+        # invert the factors ONCE, outside the PCG loop: the batched
+        # triangular_solve chain mis-executed when the preconditioner
+        # closure ran inside lax.while_loop on TPU (finite garbage with
+        # effective inverse norm ~1e15; the identical computation in a
+        # loop-free program was correct to 1e-7 — same hazard family as
+        # the device-loop/padded-layout finding). With linv precomputed,
+        # each PCG application is two plain batched GEMMs.
+        eye_b = jnp.broadcast_to(eye_full[None], chol.shape)
+        linv = jax.lax.linalg.triangular_solve(
+            chol, eye_b, left_side=True, lower=True, transpose_a=False
+        )  # (ncl, csf, csf) = L^{-1}
         pos = self._cluster_pos_of_cam
+        slot_cam = self._cluster_slot_cam  # (ncl*cs,), sentinel nc = pad
 
         def precond(v):
-            vb = jnp.zeros((ncl * cs, f), v.dtype)
-            vb = vb.at[pos].set(v.reshape(-1, f))
-            vb = vb.reshape(ncl, cs * f, 1)
-            y = jax.lax.linalg.triangular_solve(
-                chol, vb, left_side=True, lower=True, transpose_a=False
-            )
-            x = jax.lax.linalg.triangular_solve(
-                chol, y, left_side=True, lower=True, transpose_a=True
-            )
+            # camera blocks -> cluster slots as a pure GATHER (sentinel ->
+            # zero row)
+            vblk = v.reshape(-1, f)
+            zero = jnp.zeros((1, f), v.dtype)
+            vb = jnp.concatenate([vblk, zero])[slot_cam]
+            vb = vb.reshape(ncl, cs * f)
+            y = jnp.einsum("bij,bj->bi", linv, vb)
+            x = jnp.einsum("bji,bj->bi", linv, y)
             return x.reshape(ncl * cs, f)[pos].reshape(-1)
 
         return precond
