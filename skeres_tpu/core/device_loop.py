@@ -25,7 +25,6 @@ host loop.
 from __future__ import annotations
 
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -101,6 +101,7 @@ class SchurSolver:
         explicit_s_limit_bytes: int = 2 << 30,
         pair_cap: int = 32,
         cluster_size: int = 64,
+        cluster_boost: float = 1e-3,
     ):
         self.ev = evaluator
         self.iterative = iterative
@@ -111,6 +112,11 @@ class SchurSolver:
         self.refinement_iterations = refinement_iterations
         self.max_power_series_terms = max_power_series_terms
         self.spse_tolerance = spse_tolerance
+        # CLUSTER_JACOBI factor regularization (relative to each
+        # cluster's max diagonal); larger = more robust, weaker
+        # preconditioner (the 4000-camera bench showed per-step quality
+        # loss at 1e-3 — a tuning knob, not a constant of nature)
+        self.cluster_boost = cluster_boost
         # hoist the explicit-S point grid into prepare() (1x per
         # linearization). The device-loop minimizer turns this OFF: its
         # lax.while_loop carry would hold the ~1 GB venice grid across
@@ -1361,11 +1367,12 @@ class SchurSolver:
             m = mats + (eps_rel * dmax)[:, :, None] * eye_full[None]
             return jax.lax.linalg.cholesky(m)
 
-        chol1 = boosted(1e-3)
+        boost0 = self.cluster_boost
+        chol1 = boosted(boost0)
         piv = chol1[:, ridx, ridx]  # (ncl, cs*f)
         bad = (
             ~jnp.all(jnp.isfinite(chol1), axis=(1, 2))
-            | (jnp.min(piv, axis=1) ** 2 < 0.25e-3 * dmax[:, 0])
+            | (jnp.min(piv, axis=1) ** 2 < 0.25 * boost0 * dmax[:, 0])
         )[:, None, None]
         chol = jnp.where(bad, boosted(1e-1), chol1)
         # invert the factors ONCE, outside the PCG loop: the batched
