@@ -101,10 +101,10 @@ class TrustRegionMinimizer:
     """Host-side driver over jitted device programs.
 
     Device programs built once per solve:
-      linearize(state)                     -> cost, g, diag, solver_data
-      solve_step(state, data, g, diag, scale, radius)
-                                           -> candidate state + step stats
-      try_step(new_state)                  -> candidate cost, |x|
+      linearize(state, scale_prev, use_prev) -> cost, g, diag, solver_data
+      solve_step(state, data, g, diag, scale, ctrl)
+          ctrl = [radius, jitter_prev]       -> candidate + step stats
+      try_step(new_state)                    -> candidate cost, |x|
     """
 
     def __init__(
