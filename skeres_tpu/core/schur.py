@@ -1354,8 +1354,7 @@ class SchurSolver:
         # blew up). Badness is judged by the factor's pivots against the
         # boost actually added (isfinite alone misses the garbage case);
         # bad clusters refactor with a 1e-1 boost.
-        ridx = jnp.arange(cs * f)
-        dvec = mats[:, ridx, ridx]  # (ncl, cs*f)
+        dvec = mats[:, rr, rr]  # (ncl, cs*f)
         dmax = jnp.maximum(
             jnp.max(dvec, axis=1, keepdims=True),
             jnp.finfo(mats.dtype).tiny,
@@ -1369,7 +1368,7 @@ class SchurSolver:
 
         boost0 = self.cluster_boost
         chol1 = boosted(boost0)
-        piv = chol1[:, ridx, ridx]  # (ncl, cs*f)
+        piv = chol1[:, rr, rr]  # (ncl, cs*f)
         bad = (
             ~jnp.all(jnp.isfinite(chol1), axis=(1, 2))
             | (jnp.min(piv, axis=1) ** 2 < 0.25 * boost0 * dmax[:, 0])
