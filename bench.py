@@ -16,6 +16,10 @@ slow CPU run happens once.
 
 Metric: LM steps (accepted + rejected) per second of minimizer wall time,
 excluding compilation (a warm-up solve populates the jit cache first).
+The solve runs a FIXED 30-step budget (``run_full_iteration_budget``) so
+the denominator is reproducible, and the reported value is the median of
+3 measured solves (relay overhead to the network-attached chip is noisy;
+the min/max spread is reported in ``extra.rate_spread``).
 """
 
 from __future__ import annotations
@@ -69,7 +73,7 @@ def _load_workload():
 # -- our solver ----------------------------------------------------------------
 
 
-def run_tpu_solver(bal, max_iters=BENCH_ITERS, warmup=True):
+def run_tpu_solver(bal, max_iters=BENCH_ITERS, warmup=True, repeats=3):
     import skeres_tpu as st
     from skeres_tpu.core.options import SolverOptions
     from skeres_tpu.core.types import LinearSolverType
@@ -84,10 +88,13 @@ def run_tpu_solver(bal, max_iters=BENCH_ITERS, warmup=True):
             # iteration (critical over a network-attached chip)
             use_device_loop=True,
             device_loop_chunk_iterations=n_iters,
-            # throughput benchmark: run the full iteration budget
-            function_tolerance=0.0,
-            gradient_tolerance=0.0,
-            parameter_tolerance=0.0,
+            # throughput benchmark: run exactly n_iters LM steps. Zeroed
+            # tolerances alone are not enough (r4 judge finding: an
+            # exactly-zero f32 step at the post-convergence radius floor
+            # passed `step_norm <= 0` at steps 20-23 of 30), so the
+            # termination tests are disabled outright for a fixed,
+            # run-to-run-reproducible denominator.
+            run_full_iteration_budget=True,
         )
         return st.solve(options, problem)
 
@@ -96,13 +103,22 @@ def run_tpu_solver(bal, max_iters=BENCH_ITERS, warmup=True):
         # chunk length, and the persistent cache (enabled in main) turns
         # the measured solve's compile into a fast cache hit
         solve(max_iters)
-    summary = solve(max_iters)
+    # median-of-N: the network-attached chip's relay adds noisy per-run
+    # overhead (r4: identical runs spread ~2x); a single draw is not a
+    # reliable headline
+    runs = [solve(max_iters) for _ in range(repeats)]
+    rates = []
+    for summary in runs:
+        steps = summary.num_successful_steps + summary.num_unsuccessful_steps
+        rates.append(float(steps / summary.minimizer_time_in_seconds))
+    order = int(np.argsort(rates)[len(rates) // 2])
+    summary = runs[order]
     steps = summary.num_successful_steps + summary.num_unsuccessful_steps
-    secs = summary.minimizer_time_in_seconds
     return {
         "steps": int(steps),
-        "seconds": float(secs),
-        "steps_per_sec": float(steps / secs),
+        "seconds": float(summary.minimizer_time_in_seconds),
+        "steps_per_sec": float(rates[order]),
+        "rate_spread": [round(min(rates), 3), round(max(rates), 3)],
         "initial_cost": float(summary.initial_cost),
         "final_cost": float(summary.final_cost),
     }
@@ -253,6 +269,7 @@ def main():
             "initial_cost": ours["initial_cost"],
             "final_cost": ours["final_cost"],
             "steps": ours["steps"],
+            "rate_spread": ours["rate_spread"],
             "baseline": None
             if baseline is None
             else {

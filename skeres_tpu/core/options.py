@@ -175,6 +175,17 @@ class SolverOptions:
     # write a Perfetto/XProf trace of the minimizer to this directory
     # (SURVEY.md §6 tracing; view with xprof / perfetto)
     trace_dir: Optional[str] = None
+    # Benchmark/diagnostic mode: never terminate before max_num_iterations.
+    # All convergence/failure tests (ftol/gtol/ptol, min trust-region
+    # radius, consecutive-invalid-steps) are skipped, so the solve runs a
+    # FIXED iteration budget regardless of where the trajectory lands — a
+    # converged problem keeps producing (rejected) steps at the radius
+    # floor. This exists because a throughput benchmark needs a
+    # deterministic step-count denominator: zeroing the tolerances is not
+    # enough (an exactly-zero f32 step at an underflowed radius still
+    # passes `step_norm <= 0`, and the radius floor triggers the
+    # min-radius test). No reference counterpart.
+    run_full_iteration_budget: bool = False
 
     # -- reference fields with NO counterpart here (audit, VERDICT r1 #10) ----
     # Each absent ``Solver::Options`` field of the reference lineage, with
