@@ -331,16 +331,28 @@ class Evaluator:
                 return batch.fn(xp, data_row)
 
             if batch.numeric_diff:
-                # user-requested central differences (reference:
-                # NumericDiffCostFunction) — for residuals whose AD
-                # derivative is unavailable or wrong
+                # user-requested numeric differentiation (reference:
+                # NumericDiffCostFunction, internal/ceres/numeric_diff.h)
+                # — for residuals whose AD derivative is unavailable or
+                # wrong. Methods: "central" (default) / "forward" one
+                # f-eval cheaper / "ridders" Richardson-extrapolated for
+                # ill-scaled residuals
                 from skeres_tpu.core.gradient_checker import (
                     numeric_jacobian,
+                    ridders_jacobian,
                 )
 
                 zero = jnp.zeros((T,), dtype=self.dtype)
+                if batch.numeric_diff_method == "ridders":
+                    return f(zero), ridders_jacobian(
+                        f, T, self.dtype, batch.numeric_diff_step
+                    )
                 return f(zero), numeric_jacobian(
-                    f, T, self.dtype, batch.numeric_diff_step
+                    f,
+                    T,
+                    self.dtype,
+                    batch.numeric_diff_step,
+                    method=batch.numeric_diff_method,
                 )
             zero = jnp.zeros((T,), dtype=self.dtype)
             r, lin = jax.linearize(f, zero)

@@ -24,8 +24,10 @@ import numpy as np
 __all__ = ["check_program_gradients", "numeric_jacobian"]
 
 
-def numeric_jacobian(f, t_dim: int, dtype, relative_step_size: float = 1e-6):
-    """Central-difference Jacobian of ``f: (T,) -> (m,)`` at 0.
+def numeric_jacobian(
+    f, t_dim: int, dtype, relative_step_size: float = 1e-6, method="central"
+):
+    """Central- or forward-difference Jacobian of ``f: (T,) -> (m,)`` at 0.
 
     Step size per coordinate follows the reference's NumericDiffOptions:
     ``h = relative_step_size`` around the zero tangent (the tangent origin
@@ -35,8 +37,79 @@ def numeric_jacobian(f, t_dim: int, dtype, relative_step_size: float = 1e-6):
     h = relative_step_size
     basis = jnp.eye(t_dim, dtype=dtype)
 
+    if method == "forward":
+        f0 = f(jnp.zeros((t_dim,), dtype=dtype))
+
+        def col(e):
+            return (f(h * e) - f0) / h
+
+    elif method == "central":
+
+        def col(e):
+            return (f(h * e) - f(-h * e)) / (2.0 * h)
+
+    else:
+        raise ValueError(
+            f"unknown numeric_diff_method {method!r} "
+            "(expected 'central', 'forward', or 'ridders')"
+        )
+
+    cols = jax.vmap(col)(basis)  # (T, m)
+    return jnp.swapaxes(cols, 0, 1)  # (m, T)
+
+
+def ridders_jacobian(
+    f,
+    t_dim: int,
+    dtype,
+    relative_step_size: float = 1e-2,
+    max_extrapolations: int = 5,
+    step_shrink: float = 2.0,
+):
+    """Ridders-extrapolated numeric Jacobian of ``f: (T,) -> (m,)`` at 0
+    (reference: ``internal/ceres/numeric_diff.h`` RIDDERS, after Ridders
+    '82 / Numerical Recipes ``dfridr``).
+
+    Central differences at geometrically shrinking steps h, h/s, h/s^2,
+    ... fill the first column of a Neville tableau; Richardson
+    extrapolation in h^2 eliminates successive even error terms. The
+    reference adapts the number of levels per coordinate at run time;
+    under jit the tableau is a STATIC unroll of ``max_extrapolations``
+    levels (data-dependent early-out would break tracing), and the
+    best-converged entry is selected per output element with a masked
+    argmin over adjacent-entry differences — same estimator, fixed
+    schedule. The larger default first step (1e-2 vs central's 1e-6) is
+    the reference's: extrapolation kills the truncation error, so the
+    first step can be big enough to dodge cancellation noise.
+    """
+    n = max_extrapolations
+    s2 = step_shrink * step_shrink
+    basis = jnp.eye(t_dim, dtype=dtype)
+
     def col(e):
-        return (f(h * e) - f(-h * e)) / (2.0 * h)
+        # first tableau column: central differences at shrinking steps
+        hs = relative_step_size / (step_shrink ** jnp.arange(n, dtype=dtype))
+        d0 = jax.vmap(lambda h: (f(h * e) - f(-h * e)) / (2.0 * h))(hs)
+        # Neville/Richardson: T[i,j] from T[i,j-1], T[i+1,j-1]
+        tableau = [d0[i] for i in range(n)]
+        best = tableau[0]
+        best_err = jnp.full(best.shape, jnp.inf, dtype)
+        fac = jnp.asarray(1.0, dtype)
+        for j in range(1, n):
+            fac = fac * s2
+            nxt = []
+            for i in range(n - j):
+                t_ij = (tableau[i + 1] * fac - tableau[i]) / (fac - 1.0)
+                err = jnp.maximum(
+                    jnp.abs(t_ij - tableau[i]), jnp.abs(t_ij - tableau[i + 1])
+                )
+                if i == 0:
+                    take = err <= best_err
+                    best = jnp.where(take, t_ij, best)
+                    best_err = jnp.where(take, err, best_err)
+                nxt.append(t_ij)
+            tableau = nxt
+        return best
 
     cols = jax.vmap(col)(basis)  # (T, m)
     return jnp.swapaxes(cols, 0, 1)  # (m, T)

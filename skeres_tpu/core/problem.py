@@ -153,6 +153,8 @@ class _BatchSpec:
     # pure_callback, table lookups, stop_gradient'ed terms)
     numeric_diff: bool = False
     numeric_diff_step: float = 1e-6
+    # "central" | "forward" | "ridders" (reference: NumericDiffMethodType)
+    numeric_diff_method: str = "central"
 
 
 class ResidualBlockId:
@@ -186,6 +188,7 @@ class CompiledBatch:
     name: str = ""
     numeric_diff: bool = False
     numeric_diff_step: float = 1e-6
+    numeric_diff_method: str = "central"
 
 
 @dataclasses.dataclass
@@ -370,6 +373,7 @@ class Problem:
         name: str = "",
         numeric_diff: bool = False,
         numeric_diff_relative_step_size: float = 1e-6,
+        numeric_diff_method: str = "central",
     ) -> ResidualBlockId:
         """Add one residual block. Blocks with the same (fn, loss, group
         signature) batch together at compile time.
@@ -381,7 +385,7 @@ class Problem:
         in ``jax.pure_callback``, table lookups, ``stop_gradient`` terms).
         """
         slot_groups = tuple(p.group_index for p in params)
-        key = (id(fn), id(loss), slot_groups, name, numeric_diff)
+        key = (id(fn), id(loss), slot_groups, name, numeric_diff, numeric_diff_method)
         spec = self._batches.get(key)
         if spec is None:
             spec = _BatchSpec(
@@ -394,6 +398,7 @@ class Problem:
                 row_ids=[],
                 numeric_diff=numeric_diff,
                 numeric_diff_step=numeric_diff_relative_step_size,
+                numeric_diff_method=numeric_diff_method,
             )
             self._batches[key] = spec
         for slot, p in enumerate(params):
@@ -465,6 +470,7 @@ class Problem:
         name: str = "",
         numeric_diff: bool = False,
         numeric_diff_relative_step_size: float = 1e-6,
+        numeric_diff_method: str = "central",
     ) -> None:
         """Bulk-add B homogeneous residual blocks (the TPU-idiomatic path).
 
@@ -517,6 +523,7 @@ class Problem:
             name=name or getattr(fn, "__name__", "residual"),
             numeric_diff=numeric_diff,
             numeric_diff_step=numeric_diff_relative_step_size,
+            numeric_diff_method=numeric_diff_method,
         )
         self._batches[key] = spec
         self._num_residual_blocks += B
@@ -617,6 +624,7 @@ class Problem:
                     name=spec.name,
                     numeric_diff=spec.numeric_diff,
                     numeric_diff_step=spec.numeric_diff_step,
+                    numeric_diff_method=spec.numeric_diff_method,
                 )
             )
             total_residuals += B * m
@@ -686,6 +694,7 @@ class Problem:
                 row_ids=[spec.row_ids[i] for i in rows],
                 numeric_diff=spec.numeric_diff,
                 numeric_diff_step=spec.numeric_diff_step,
+                numeric_diff_method=spec.numeric_diff_method,
             )
             sub._num_residual_blocks += len(rows)
         return sub

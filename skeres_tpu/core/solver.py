@@ -10,6 +10,7 @@ solver; the minimizer then runs as a host loop over those programs.
 
 from __future__ import annotations
 
+import logging
 import time
 from typing import Optional
 
@@ -142,6 +143,16 @@ def solve(
             pair_cap=options.schur_pair_cap,
             cluster_size=options.cluster_jacobi_size,
         )
+        summary.schur_complement_path = schur_solver.schur_path
+        if schur_solver.explicit_reject_reason is not None:
+            # a wanted explicit-S plan was rejected; the fallback can be
+            # much slower (measured 6.2x at 1/3-venice scale) — say so
+            # instead of leaving users to file perf bugs the gate predicted
+            logging.getLogger("skeres_tpu").warning(
+                "explicit Schur complement plan rejected (%s); using %s",
+                schur_solver.explicit_reject_reason,
+                summary.schur_complement_path,
+            )
 
     inner_refiner = None
     if options.use_inner_iterations:

@@ -91,6 +91,11 @@ class Summary:
 
     num_devices: int = 1
     dtype: str = ""
+    # S-assembly path the Schur solvers took: "explicit", "dense-W",
+    # "implicit", or "<path> (gate: <reason>)" when a wanted explicit plan
+    # was rejected (size cap / fan-in gate / structure). Empty for
+    # non-Schur solvers.
+    schur_complement_path: str = ""
 
     @property
     def is_solution_usable(self) -> bool:
@@ -157,6 +162,8 @@ class Summary:
                     f"{self.preconditioner_type_given.value:>12}"
                     f"{self.preconditioner_type_used.value:>12}"
                 )
+            if self.schur_complement_path:
+                a(f"{'Schur complement':40}{self.schur_complement_path:>24}")
         a(f"{'Devices':40}{self.num_devices:>24}")
         a(f"{'Device dtype':40}{self.dtype:>24}")
         a("")

@@ -170,3 +170,58 @@ def test_evaluate_residual_block_subset():
     p.remove_residual_block(id1)
     with _pytest.raises(KeyError):
         p.evaluate(residual_blocks=[id1])
+
+
+def test_numeric_diff_methods():
+    """forward / central / ridders (reference: NumericDiffMethodType) all
+    solve; ridders beats plain central differences in f32 on an
+    ill-scaled residual (cancellation noise at small h is exactly what
+    Richardson extrapolation from large h avoids)."""
+    import jax.numpy as jnp
+
+    def smooth(params, data):
+        (p,) = params
+        return (p[0] ** 2 - 4.0)[None]
+
+    for method in ("forward", "central", "ridders"):
+        p = Problem()
+        x = p.add_parameter_block([10.0])
+        p.add_residual_block(
+            smooth, None, [x], numeric_diff=True, numeric_diff_method=method
+        )
+        s = solve(SolverOptions(max_num_iterations=60), p)
+        assert abs(abs(float(x.value[0])) - 2.0) < 1e-3, (method, x.value)
+
+    # unit-level accuracy: f32 central at h=1e-6 is cancellation-dominated,
+    # ridders from h=1e-2 recovers ~full f32 precision
+    from skeres_tpu.core.gradient_checker import (
+        numeric_jacobian,
+        ridders_jacobian,
+    )
+
+    def f(t):
+        return jnp.exp(3.0 * t)  # d/dt at 0 = 3
+
+    t32 = jnp.float32
+    j_central = numeric_jacobian(f, 1, t32, 1e-6)[0, 0]
+    j_ridders = ridders_jacobian(f, 1, t32, 1e-2)[0, 0]
+    err_central = abs(float(j_central) - 3.0)
+    err_ridders = abs(float(j_ridders) - 3.0)
+    assert err_ridders < 1e-4, err_ridders
+    assert err_ridders < err_central / 10.0, (err_central, err_ridders)
+
+
+def test_numeric_diff_bad_method_raises():
+    def smooth(params, data):
+        (p,) = params
+        return (p[0] ** 2 - 4.0)[None]
+
+    p = Problem()
+    x = p.add_parameter_block([1.0])
+    p.add_residual_block(
+        smooth, None, [x], numeric_diff=True, numeric_diff_method="sideways"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="numeric_diff_method"):
+        solve(SolverOptions(max_num_iterations=2), p)

@@ -115,34 +115,75 @@ def main():
         rows.append((name, t, flops))
         return compiled(*fargs)
 
-    cost, blocks = add("residual+J eval (blocks)", ev.blocks, state)
-    g, diag = add("g + diag assembly", ev.gradient_and_diag, blocks)
-    add("residual-only cost", ev.cost, state)
+    # every timed program takes the evaluator's device constants as an
+    # ARGUMENT and rebinds during tracing — closed-over venice-scale
+    # constants get embedded in the HLO and overflow the axon remote
+    # compile request (HTTP 413); this is the minimizer's own pattern
+    consts = ev.device_consts
+
+    def b(fn):
+        def wrapped(c, *a):
+            with ev.bind(c):
+                return fn(*a)
+
+        return wrapped
+
+    cost, blocks = add("residual+J eval (blocks)", b(ev.blocks), consts, state)
+    g, diag = add(
+        "g + diag assembly", b(ev.gradient_and_diag), consts, blocks
+    )
+    add("residual-only cost", b(ev.cost), consts, state)
 
     schur = SchurSolver(ev, iterative=False)
-    data = schur.solver_data(blocks)
+    data = tuple((bb.r, bb.jac) for bb in blocks)
     d = lm_diagonal(diag, 1e-4, 1e-6, 1e32)
+    scale = add(
+        "jacobi scale", b(lambda dg: 1.0 / (1.0 + jnp.sqrt(jnp.maximum(dg, 0.0)))),
+        consts, diag,
+    )
+    sdata = add("scale_data", b(schur.scale_data), consts, data, scale)
+    prep = add("prepare (ete0+cam+grid)", b(schur.prepare), consts, sdata)
+    gs = g * scale
 
-    asm = add("schur assemble (ete/cinv)", lambda dd: schur._assemble(data, g, dd), d)
-    s_mat = add("dense S assembly", schur._dense_s, asm)
+    asm = add(
+        "schur assemble (damped cinv)",
+        b(lambda p, gg, dd: schur._assemble(p, gg, dd)),
+        consts, prep, gs, d,
+    )
+    s_mat = add("dense S assembly", b(schur._dense_s), consts, asm)
     add("cholesky(S) [xla]", jax.lax.linalg.cholesky, s_mat)
     if jax.default_backend() == "tpu" and s_mat.dtype == jnp.float32:
-        from skeres_tpu.ops.pallas.cholesky import cholesky_inverse_factor
+        from skeres_tpu.ops.pallas.cholesky import (
+            MAX_PALLAS_CHOLESKY_N,
+            cholesky_inverse_factor,
+        )
+        from skeres_tpu.ops.pallas.cholesky import (
+            blocked_cholesky_factor,
+        )
 
-        add("cholesky(S) [pallas L^-1]", cholesky_inverse_factor, s_mat)
-    rhs = add("schur rhs", schur._schur_rhs, asm)
-    add("back substitute", schur._back_substitute, asm, rhs)
+        if s_mat.shape[0] <= MAX_PALLAS_CHOLESKY_N:
+            add("cholesky(S) [pallas L^-1]", cholesky_inverse_factor, s_mat)
+        else:
+            add("cholesky(S) [pallas blocked]", blocked_cholesky_factor, s_mat)
+    rhs = add("schur rhs", b(schur._schur_rhs), consts, asm)
+    dx_f = add("back substitute", b(schur._back_substitute), consts, asm, rhs)
 
     # implicit matvec (ITERATIVE_SCHUR inner op)
-    def s_matvec(v):
-        wc = jnp.einsum("pef,pf->pe", asm["cinv"], schur._wt_apply(asm, v))
-        return schur._ftf_apply(asm, v) - schur._w_apply(asm, wc)
+    def s_matvec(c, asm_, v):
+        with ev.bind(c):
+            wc = jnp.einsum("pef,pf->pe", asm_["cinv"], schur._wt_apply(asm_, v))
+            return schur._ftf_apply(asm_, v) - schur._w_apply(asm_, wc)
 
-    add("implicit S matvec", s_matvec, rhs)
+    add("implicit S matvec", s_matvec, consts, asm, rhs)
+    add(
+        "jtj quadratic (model cost)",
+        b(lambda p, v: schur.jtj_quadratic(p, v)),
+        consts, prep, dx_f,
+    )
     add(
         "full damped schur solve",
-        lambda dd: schur.solve_damped(data, g, diag, 1e-4, 1e-6, 1e32),
-        d,
+        b(lambda p, gg, dgs: schur.solve_damped(p, gg, dgs, 1e-4, 1e-6, 1e32)),
+        consts, prep, gs, diag * scale * scale,
         n=10,
     )
 
