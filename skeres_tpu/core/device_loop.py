@@ -203,7 +203,15 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
             )
 
             # -- convergence tests ----------------------------------------
-            g_max = jnp.max(jnp.abs(g2))
+            if ev.program.has_bounds:
+                # projected gradient norm (see minimizer._linearize): the
+                # raw |g| never vanishes at an active bound
+                pg = ev.tangent_diff(
+                    ev.project_bounds(ev.plus(state2, -g2)), state2
+                )
+                g_max = jnp.max(jnp.abs(pg))
+            else:
+                g_max = jnp.max(jnp.abs(g2))
             cost_change = jnp.abs(cost - new_cost)
             if o.run_full_iteration_budget:
                 # benchmark mode: fixed iteration budget, no termination
@@ -343,7 +351,13 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
         def first_linearize(state, consts):
             with ev.bind(consts):
                 cost, g, diag, data, scale = self._linearize_parts(state)
-                g_max = jnp.max(jnp.abs(g))
+                if ev.program.has_bounds:
+                    pg = ev.tangent_diff(
+                        ev.project_bounds(ev.plus(state, -g)), state
+                    )
+                    g_max = jnp.max(jnp.abs(pg))
+                else:
+                    g_max = jnp.max(jnp.abs(g))
                 return cost, g, diag, data, scale, g_max
 
         self._first_linearize_jit = jax.jit(first_linearize)

@@ -103,7 +103,7 @@ class TrustRegionMinimizer:
     Device programs built once per solve:
       linearize(state, scale_prev, use_prev) -> cost, g, diag, solver_data
       solve_step(state, data, g, diag, scale, ctrl)
-          ctrl = [radius, jitter_prev]       -> candidate + step stats
+          ctrl = [radius, jitter_prev, cost] -> candidate + step stats
       try_step(new_state)                    -> candidate cost, |x|
     """
 
@@ -359,7 +359,20 @@ class TrustRegionMinimizer:
             # Schur path: scaled + prepared ONCE here; re-solves after
             # rejected steps reuse it (see _prep_data)
             data = self._prep_data(blocks, scale)
-            g_max_norm = jnp.max(jnp.abs(g)) if ev.num_tangent else jnp.zeros((), dtype)
+            if ev.program.has_bounds:
+                # bounded problems converge where the PROJECTED gradient
+                # vanishes (reference: trust_region_minimizer.cc uses
+                # |x - P(x - g)|_inf as gradient_max_norm) — the raw |g|
+                # never goes to zero at an active bound, so gtol could
+                # not fire there
+                pg = ev.tangent_diff(
+                    ev.project_bounds(ev.plus(state, -g)), state
+                )
+                g_max_norm = jnp.max(jnp.abs(pg))
+            elif ev.num_tangent:
+                g_max_norm = jnp.max(jnp.abs(g))
+            else:
+                g_max_norm = jnp.zeros((), dtype)
             g_norm = jnp.sqrt(jnp.sum(g * g))
             if dogleg:
                 # Gauss-Newton point: one (nearly) undamped solve per
@@ -377,9 +390,11 @@ class TrustRegionMinimizer:
             return (cost, g, diag, data, scale, g_max_norm, g_norm) + gn
 
         def solve_step(state, data, g, diag, scale, ctrl, consts, *gn):
-            # ctrl: (2,) device array [trust_region_radius, jitter_prev] —
-            # ONE per-iteration host->device transfer (each separate
-            # transfer is a ~28 ms relay round trip on this chip)
+            # ctrl: (3,) device array [trust_region_radius, jitter_prev,
+            # current_cost] — ONE per-iteration host->device transfer
+            # (each separate transfer is a ~28 ms relay round trip on
+            # this chip); current_cost feeds the projected line search's
+            # Armijo test on bounds-active steps
             with ev.bind(consts):
                 return _solve_step(state, data, g, diag, scale, ctrl, *gn)
 
@@ -410,7 +425,96 @@ class TrustRegionMinimizer:
                 # model_cost_change / step_norm must see the EFFECTIVE
                 # (projected) step, else step quality is corrupted whenever
                 # a bound is active.
-                new_state = ev.project_bounds(new_state)
+                projected = ev.project_bounds(new_state)
+                if o.max_num_line_search_step_size_iterations > 0:
+                    # Projected line search (reference role:
+                    # trust_region_minimizer.cc DoLineSearch — "a
+                    # projected line search improves the quality of
+                    # bounds-active steps"). Engaged only when the
+                    # projection CLIPPED the step (lax.cond), so interior
+                    # steps keep exact TR semantics and pay nothing. Two
+                    # stages:
+                    #   1. direction: the clipped TR step — UNLESS its
+                    #      projection is an ASCENT direction along the
+                    #      active face (the unconstrained optimum pulls
+                    #      the clipped coordinate through the bound; no
+                    #      step length helps). Then the projected
+                    #      Cauchy/gradient direction -t_c * g is used —
+                    #      the standard projected-gradient safeguard,
+                    #      without which the solve spirals through
+                    #      invalid (mcc <= 0) steps into the
+                    #      consecutive-invalid-steps failure at exactly
+                    #      the box faces bounds exist for.
+                    #   2. projected Armijo backtracking (Bertsekas):
+                    #      accept the first a with
+                    #      f(P(x + a d)) <= f(x) + c1 g.(P(x + a d) - x).
+                    #      On failure keep the plain projected TR step
+                    #      and let the trust region reject/shrink.
+                    cost0 = ctrl[2]
+                    dx_raw = dx
+                    eff0 = ev.tangent_diff(projected, state)
+                    dphi0 = jnp.dot(g, eff0)
+                    c1 = jnp.asarray(
+                        o.line_search_sufficient_function_decrease, dtype
+                    )
+                    K = int(o.max_num_line_search_step_size_iterations)
+
+                    # Cauchy step length along -g: |g|^2 / |J g|^2
+                    g2 = jnp.sum(g * g)
+                    gjtjg = self._model_quadratic(data, g, scale)
+                    t_c = g2 / jnp.maximum(gjtjg, jnp.finfo(dtype).tiny)
+                    d_vec = jnp.where(dphi0 < 0.0, dx_raw, -t_c * g)
+
+                    def _ls(_):
+                        def body(c_):
+                            alpha, k, _ok = c_
+                            cand = ev.project_bounds(
+                                ev.plus(state, alpha * d_vec)
+                            )
+                            de = ev.tangent_diff(cand, state)
+                            ok = ev.cost(cand) <= cost0 + c1 * jnp.dot(
+                                g, de
+                            )
+                            return (
+                                jnp.where(ok, alpha, alpha * 0.5),
+                                k + 1,
+                                ok,
+                            )
+
+                        def cond_fn(c_):
+                            _alpha, k, ok = c_
+                            return (~ok) & (k <= K)
+
+                        alpha, _k, ok = jax.lax.while_loop(
+                            cond_fn,
+                            body,
+                            (
+                                jnp.ones((), dtype),
+                                jnp.zeros((), jnp.int32),
+                                jnp.zeros((), jnp.bool_),
+                            ),
+                        )
+                        return alpha, ok
+
+                    clipped = jnp.any(jnp.abs(eff0 - dx_raw) > 0.0)
+                    alpha, ok = jax.lax.cond(
+                        clipped,
+                        _ls,
+                        lambda _: (
+                            jnp.ones((), dtype),
+                            jnp.zeros((), jnp.bool_),
+                        ),
+                        operand=None,
+                    )
+                    use_ls = clipped & ok
+                    step_vec = jnp.where(
+                        use_ls, alpha * d_vec, dx_raw
+                    )
+                    new_state = ev.project_bounds(
+                        ev.plus(state, step_vec)
+                    )
+                else:
+                    new_state = projected
                 dx = ev.tangent_diff(new_state, state)
                 y = dx / scale
 
@@ -495,7 +599,7 @@ class TrustRegionMinimizer:
         consts_s = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), consts
         )
-        ctrl_s = jax.ShapeDtypeStruct((2,), dtype)
+        ctrl_s = jax.ShapeDtypeStruct((3,), dtype)
         solve_out = jax.eval_shape(
             self._solve_step_jit,
             state_s, data_s, g_s, diag_s, scale_s, ctrl_s, consts_s, *gn_s,
@@ -781,7 +885,9 @@ class TrustRegionMinimizer:
             iter_start = time.time()
 
             t0 = time.time()
-            ctrl = jnp.asarray([radius, self._jitter], dtype=self.ev.dtype)
+            ctrl = jnp.asarray(
+                [radius, self._jitter, cost], dtype=self.ev.dtype
+            )
             (
                 new_state,
                 model_cost_change,

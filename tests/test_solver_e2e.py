@@ -329,6 +329,59 @@ def test_bounds_active_at_coupled_optimum():
     np.testing.assert_allclose(summary.final_cost, 1.0, atol=1e-5)
 
 
+def test_bounds_projected_line_search():
+    """Projected line search on bounds-active steps (reference:
+    trust_region_minimizer.cc DoLineSearch): bounded Rosenbrock whose
+    optimum sits on the y <= 0.5 face. The solve must reach the
+    constrained optimum, and disabling the search
+    (max_num_line_search_step_size_iterations=0) must never do BETTER —
+    the search only ever improves the step length along the clipped
+    direction."""
+    from scipy.optimize import minimize as scipy_minimize
+
+    def build():
+        problem = st.Problem()
+        p = problem.add_parameter_block([-1.2, 1.0])
+        problem.set_parameter_upper_bound(p, 1, 0.5)
+
+        def r(params, data):
+            (x,) = params
+            return jnp.stack([1.0 - x[0], 10.0 * (x[1] - x[0] ** 2)])
+
+        problem.add_residual_block(r, None, [p])
+        return problem, p
+
+    # scipy oracle for the box-constrained optimum
+    oracle = scipy_minimize(
+        lambda v: (1 - v[0]) ** 2 + 100.0 * (v[1] - v[0] ** 2) ** 2,
+        [-1.2, 1.0],
+        bounds=[(None, None), (None, 0.5)],
+        method="L-BFGS-B",
+    )
+
+    for ls_iters in (20, 0):
+        problem, p = build()
+        s = st.solve(
+            SolverOptions(
+                max_num_iterations=300,
+                max_num_line_search_step_size_iterations=ls_iters,
+                dtype=np.float64,
+            ),
+            problem,
+        )
+        x = np.asarray(p.value)
+        assert x[1] <= 0.5 + 1e-12
+        if ls_iters:
+            assert s.termination_type == TerminationType.CONVERGENCE, s.message
+            final_with_ls = s.final_cost
+            np.testing.assert_allclose(x, oracle.x, atol=1e-3)
+            np.testing.assert_allclose(
+                s.final_cost, 0.5 * oracle.fun, rtol=1e-3, atol=1e-7
+            )
+    # cost parity: the search must not lose to plain projection
+    assert final_with_ls <= s.final_cost * (1 + 1e-6) + 1e-9
+
+
 def test_curve_fitting_line_search_dense_bfgs():
     """Dense BFGS direction (not the LBFGS alias) converges on curve
     fitting (reference: line_search_direction.cc BFGS)."""

@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Phase split of the venice-scale LM step via CUMULATIVE-PREFIX timing.
+
+Profiling the linearize pipeline's pieces in ISOLATION is misleading at
+venice scale: XLA fuses differently without the surrounding program
+(e.g. the per-row A = F^T E intermediate materializes 3D tile-padded —
+f32[5M,16,128] = 41 GB — when ``prepare`` is compiled alone, while the
+full program streams it; see ``_explicit_a_flat``'s docstring). Instead
+this tool times PREFIXES of the real pipeline, each compiled as one
+fused program, and reports marginal (differenced) phase costs:
+
+    P1  blocks                         -> residual+J evaluation
+    P2  + gradient_and_diag            -> g/diag assembly
+    P3  + scale + scale_data + prepare -> scaling + per-linearization prep
+    P4  + solve_damped                 -> the damped Schur solve
+    P5  + jtj_quadratic + plus + cost  -> model cost + candidate eval
+
+Every prefix returns what the real minimizer program returns (the prep
+stays resident for rejected-step re-solves), so the marginal numbers
+match the real per-step cost of an ACCEPTED step:
+P1..P3 = relinearize, P4 = solve, P5 = try.
+
+    python tools/profile_linearize.py --num_cameras 1778 \
+        --num_points 1000000 --obs 5
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from _tunnel import ensure_tpu_alive
+
+    ensure_tpu_alive()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num_cameras", type=int, default=1778)
+    ap.add_argument("--num_points", type=int, default=1_000_000)
+    ap.add_argument("--obs", type=int, default=5)
+    ap.add_argument("--chunk", type=int, default=None)
+    ap.add_argument("--n", type=int, default=5)
+    ap.add_argument("--mu", type=float, default=1e-4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from skeres_tpu.core.evaluator import Evaluator
+    from skeres_tpu.core.linear_solvers import lm_diagonal
+    from skeres_tpu.core.schur import SchurSolver
+    from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+    print("backend:", jax.default_backend(), flush=True)
+    bal = synthetic_bal(
+        num_cameras=args.num_cameras,
+        num_points=args.num_points,
+        observations_per_point=args.obs,
+    )
+    print(
+        f"cams={bal.num_cameras} pts={bal.num_points} "
+        f"obs={bal.num_observations}",
+        flush=True,
+    )
+    problem, _, _ = build_bal_problem(bal)
+    program = problem.compile()
+    ev = Evaluator(program, chunk_size=args.chunk)
+    state = program.initial_state(ev.dtype)
+    schur = SchurSolver(ev, iterative=False)
+    consts = ev.device_consts
+    mu = args.mu
+
+    def upto_blocks(c, state):
+        with ev.bind(c):
+            return ev.blocks(state)
+
+    def upto_gdiag(c, state):
+        with ev.bind(c):
+            cost, blocks = ev.blocks(state)
+            g, diag = ev.gradient_and_diag(blocks)
+            return cost, blocks, g, diag
+
+    def upto_prep(c, state):
+        with ev.bind(c):
+            cost, blocks = ev.blocks(state)
+            g, diag = ev.gradient_and_diag(blocks)
+            scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
+            data = tuple((b.r, b.jac) for b in blocks)
+            prep = schur.prepare(schur.scale_data(data, scale))
+            return cost, g, diag, scale, prep
+
+    def upto_solve(c, state):
+        with ev.bind(c):
+            cost, g, diag, scale, prep = upto_prep(c, state)
+            gs = g * scale
+            diag_s = diag * scale * scale
+            dx_s, iters, jit_used = schur.solve_damped(
+                prep, gs, diag_s, mu, 1e-6, 1e32
+            )
+            return cost, g, diag, scale, prep, dx_s
+
+    def upto_try(c, state):
+        with ev.bind(c):
+            cost, g, diag, scale, prep, dx_s = upto_solve(c, state)
+            dx = dx_s * scale
+            quad = schur.jtj_quadratic(prep, dx_s)
+            mcc = -(jnp.dot(g, dx) + 0.5 * quad)
+            cand = ev.plus(state, dx)
+            new_cost = ev.cost(cand)
+            return cost, g, diag, scale, prep, dx_s, mcc, new_cost
+
+    def force(out):
+        for leaf in jax.tree_util.tree_leaves(out):
+            if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+                jax.device_get(leaf.ravel()[0])
+                break  # one fetch forces the whole program's completion
+
+    def timeit(name, fn):
+        jitted = jax.jit(fn)
+        t0 = time.time()
+        out = jitted(consts, state)
+        force(out)
+        print(f"  [{name}] first call (compile+run): "
+              f"{time.time()-t0:.1f}s", flush=True)
+        t0 = time.time()
+        for _ in range(args.n):
+            out = jitted(consts, state)
+            force(out)
+        dt = (time.time() - t0) / args.n
+        return dt
+
+    stages = [
+        ("P1 blocks (eval)", upto_blocks),
+        ("P2 +g/diag", upto_gdiag),
+        ("P3 +scale+prep", upto_prep),
+        ("P4 +damped solve", upto_solve),
+        ("P5 +mcc+try", upto_try),
+    ]
+    times = []
+    for name, fn in stages:
+        dt = timeit(name, fn)
+        times.append((name, dt))
+        print(f"{name:<22}{dt*1e3:>10.1f} ms cumulative", flush=True)
+
+    print()
+    print(f"{'phase':<26}{'marginal ms':>12}")
+    prev = 0.0
+    for name, dt in times:
+        print(f"{name:<26}{(dt-prev)*1e3:>12.1f}")
+        prev = dt
+    print(f"{'TOTAL accepted step':<26}{times[-1][1]*1e3:>12.1f}")
+
+
+if __name__ == "__main__":
+    main()
