@@ -42,6 +42,7 @@ from skeres_tpu.core.summary import IterationSummary, Summary
 from skeres_tpu.core.types import (
     CallbackReturnType,
     LinearSolverType,
+    PreconditionerType,
     TerminationType,
     TrustRegionStrategyType,
     DoglegType,
@@ -125,7 +126,60 @@ class TrustRegionMinimizer:
         # set by solve() when resuming from a checkpoint
         self.initial_radius_override: Optional[float] = None
         self.initial_iteration = 0
+        self._subset_masks = self._build_subset_masks()
         self._build_programs()
+
+    def _build_subset_masks(self):
+        """Host-planned per-batch row masks for the SUBSET preconditioner
+        (reference: subset_preconditioner.cc over
+        residual_blocks_for_subset_preconditioner). Returns None when the
+        preconditioner is not selected or must downgrade (too many
+        parameters for the dense factor, or no tagged rows resolve) —
+        the CGNR solve then falls back to JACOBI, logged like the
+        reference preprocessor's downgrades."""
+        import logging
+
+        o = self.options
+        if (
+            o.preconditioner_type != PreconditionerType.SUBSET
+            or self.solver_type != LinearSolverType.CGNR
+            or not o.residual_blocks_for_subset_preconditioner
+        ):
+            return None
+        log = logging.getLogger("skeres_tpu")
+        if self.ev.num_tangent > o.subset_preconditioner_max_parameters:
+            log.warning(
+                "SUBSET preconditioner downgraded to JACOBI: %d effective "
+                "parameters exceed subset_preconditioner_max_parameters=%d "
+                "(the dense subset factor would not fit)",
+                self.ev.num_tangent,
+                o.subset_preconditioner_max_parameters,
+            )
+            self.summary.preconditioner_type_used = PreconditionerType.JACOBI
+            return None
+        wanted = {
+            getattr(rb, "_rid", rb)
+            for rb in o.residual_blocks_for_subset_preconditioner
+        }
+        masks, any_hit = [], False
+        for bi, batch in enumerate(self.ev.program.batches):
+            b_pad = int(self.ev._batch_const[bi][4].shape[0])
+            m = np.zeros(b_pad, dtype=np.float64)
+            if batch.row_ids is not None:
+                hit = np.asarray(
+                    [1.0 if rid in wanted else 0.0 for rid in batch.row_ids]
+                )
+                m[: len(hit)] = hit
+                any_hit = any_hit or bool(hit.any())
+            masks.append(jnp.asarray(m, dtype=self.ev.dtype))
+        if not any_hit:
+            log.warning(
+                "SUBSET preconditioner downgraded to JACOBI: none of the "
+                "tagged residual blocks resolve to solver rows"
+            )
+            self.summary.preconditioner_type_used = PreconditionerType.JACOBI
+            return None
+        return masks
 
     def _maybe_checkpoint(self, state, radius, iteration, cost):
         o = self.options
@@ -263,11 +317,40 @@ class TrustRegionMinimizer:
                 # CGNR profile
                 return d * v + self.ev.jtj_matvec(blocks, v)
 
-            m_inv = 1.0 / jnp.maximum(diag + d, jnp.finfo(g.dtype).tiny)
+            if self._subset_masks is not None:
+                # SUBSET preconditioner (reference:
+                # subset_preconditioner.cc): M = J_sub^T J_sub + D over
+                # the tagged rows, dense-Cholesky-factored once per
+                # damped solve; each PCG application is two triangular
+                # solves on the MXU
+                masked = [
+                    BatchBlocks(
+                        r * mask[:, None],
+                        jac * mask[:, None, None],
+                        idx,
+                    )
+                    for (r, jac, idx), mask in zip(
+                        data, self._subset_masks
+                    )
+                ]
+                m_sub = self.ev.jtj_dense(masked) + jnp.diag(d)
+                l_sub = jax.lax.linalg.cholesky(m_sub)
+
+                def precond(v):
+                    return jax.scipy.linalg.cho_solve((l_sub, True), v)
+
+            else:
+                m_inv = 1.0 / jnp.maximum(
+                    diag + d, jnp.finfo(g.dtype).tiny
+                )
+
+                def precond(v):
+                    return m_inv * v
+
             y, it = preconditioned_conjugate_gradients(
                 matvec,
                 -g,
-                lambda v: m_inv * v,
+                precond,
                 o.max_linear_solver_iterations,
                 jnp.asarray(o.eta, dtype=g.dtype),
                 o.min_linear_solver_iterations,
@@ -281,10 +364,12 @@ class TrustRegionMinimizer:
     # linearization; every re-solve after a rejected step reuses them.
     # Other solvers keep the scale-at-solve-time path (cheap for them).
 
-    def _prep_data(self, blocks, scale):
+    def _prep_data(self, blocks, scale, cam_raw=None):
         data = self._solver_data(blocks)
         if self.schur_solver is not None:
-            return self.schur_solver.prepare(self._scale_data(data, scale))
+            return self.schur_solver.prepare(
+                self._scale_data(data, scale), cam_raw=cam_raw, scale=scale
+            )
         return data
 
     def _solve_scaled(self, pdata, gs, diag_s, radius, scale, jitter=None):
@@ -343,7 +428,16 @@ class TrustRegionMinimizer:
 
         def _linearize(state, scale_prev, use_prev):
             cost, blocks = ev.blocks(state)
-            g, diag = ev.gradient_and_diag(blocks)
+            if self.schur_solver is not None and self.schur_solver.sorted_info:
+                # camera-slot reductions ride the padded layout, and the
+                # placed copies are reused by prepare() below (scaled in
+                # padded space) — one placement gather per linearization
+                g, diag, cam_raw = (
+                    self.schur_solver.gradient_and_diag_padded(blocks)
+                )
+            else:
+                g, diag = ev.gradient_and_diag(blocks)
+                cam_raw = None
             # Jacobi column scaling (reference:
             # jacobian_scaling_ = 1 / (1 + sqrt(squared column norms)),
             # computed at iteration zero). ``use_prev`` (device bool) keeps
@@ -358,7 +452,7 @@ class TrustRegionMinimizer:
                 scale = jnp.where(use_prev, scale_prev, scale_fresh)
             # Schur path: scaled + prepared ONCE here; re-solves after
             # rejected steps reuse it (see _prep_data)
-            data = self._prep_data(blocks, scale)
+            data = self._prep_data(blocks, scale, cam_raw)
             if ev.program.has_bounds:
                 # bounded problems converge where the PROJECTED gradient
                 # vanishes (reference: trust_region_minimizer.cc uses

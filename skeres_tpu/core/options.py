@@ -175,6 +175,14 @@ class SolverOptions:
     # write a Perfetto/XProf trace of the minimizer to this directory
     # (SURVEY.md §6 tracing; view with xprof / perfetto)
     trace_dir: Optional[str] = None
+    # residual blocks (ResidualBlockIds from add_residual_block) whose
+    # J_sub^T J_sub + D forms the SUBSET preconditioner (reference:
+    # Solver::Options::residual_blocks_for_subset_preconditioner; CGNR
+    # only). Dense-factored here (documented deviation: no sparse
+    # Cholesky on TPU), so it requires num_effective_parameters <=
+    # subset_preconditioner_max_parameters.
+    residual_blocks_for_subset_preconditioner: Any = None
+    subset_preconditioner_max_parameters: int = 4096
     # Benchmark/diagnostic mode: never terminate before max_num_iterations.
     # All convergence/failure tests (ftol/gtol/ptol, min trust-region
     # radius, consecutive-invalid-steps) are skipped, so the solve runs a
@@ -212,11 +220,12 @@ class SolverOptions:
     #                                     CANONICAL_VIEWS clustering is a
     #                                     serial CPU graph algorithm with
     #                                     no TPU mapping (documented
-    #                                     deviation). CLUSTER_TRIDIAGONAL /
-    #                                     SUBSET remain out of scope.
-    #   residual_blocks_for_subset_preconditioner
-    #                                     N/A — SUBSET preconditioner out
-    #                                     of scope (SURVEY §3.6).
+    #                                     deviation). SUBSET is present
+    #                                     (dense-factored);
+    #                                     CLUSTER_TRIDIAGONAL remains out
+    #                                     of scope.
+    #   residual_blocks_for_subset_preconditioner  present (SUBSET
+    #                                     preconditioner, dense-factored).
     #   line_search_interpolation_type,
     #   max/min_line_search_step_contraction
     #                                     N/A — the Wolfe/Armijo searches use
@@ -263,6 +272,14 @@ class SolverOptions:
                 self.min_linear_solver_iterations
                 <= self.max_linear_solver_iterations,
                 "min_linear_solver_iterations <= max_linear_solver_iterations",
+            ),
+            (
+                not (
+                    self.preconditioner_type == PreconditionerType.SUBSET
+                    and not self.residual_blocks_for_subset_preconditioner
+                ),
+                "residual_blocks_for_subset_preconditioner non-empty when "
+                "preconditioner_type == SUBSET",
             ),
         ]
         for ok, msg in checks:

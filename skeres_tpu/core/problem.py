@@ -189,6 +189,10 @@ class CompiledBatch:
     numeric_diff: bool = False
     numeric_diff_step: float = 1e-6
     numeric_diff_method: str = "central"
+    # per row: the ResidualBlockId handed out by add_residual_block (None
+    # for bulk batches) — lets solver components map user-tagged residual
+    # blocks (e.g. residual_blocks_for_subset_preconditioner) to rows
+    row_ids: Optional[Tuple[int, ...]] = None
 
 
 @dataclasses.dataclass
@@ -625,6 +629,11 @@ class Problem:
                     numeric_diff=spec.numeric_diff,
                     numeric_diff_step=spec.numeric_diff_step,
                     numeric_diff_method=spec.numeric_diff_method,
+                    row_ids=(
+                        tuple(spec.row_ids)
+                        if spec.row_ids is not None
+                        else None
+                    ),
                 )
             )
             total_residuals += B * m

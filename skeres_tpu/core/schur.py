@@ -540,7 +540,110 @@ class SchurSolver:
 
     # -- shared assembly pieces ---------------------------------------------------
 
-    def prepare(self, data):
+    def gradient_and_diag_padded(self, blocks):
+        """g = J^T r and diag(J^T J) with the camera-slot reductions ridden
+        on the camera-padded layout (reshape+K-sum instead of the
+        hierarchical gather-plan — the measured g/diag bottleneck at
+        venice scale), plus the UNSCALED padded Jacobian copies for
+        :meth:`prepare` to reuse (the placement gather is paid once per
+        linearization either way; building it before g/diag lets both
+        consumers share it).
+
+        Returns (g, diag, cam_raw) where cam_raw maps batch index -> the
+        placed flat copy. Point-slot and non-padded-batch reductions take
+        the evaluator's generic planned path unchanged.
+        """
+        ev = self.ev
+        program = ev.program
+        accs = [
+            jnp.zeros((gr.num_blocks, 2 * gr.tangent_size), dtype=ev.dtype)
+            for gr in program.groups
+        ]
+        cam_raw = {}
+        padded_slot = {}
+        for bi in self.sorted_info:
+            info = self.batch_info[bi]
+            s, gi, c, t = info["ret_slots"][0]
+            b = blocks[bi]
+            cam_raw[bi] = self._sorted_cam_jac(bi, b.jac)
+            r_pad = self._place_rows(bi, b.r)
+            padded_slot[bi] = s
+
+            def row_fn(jac_cam, pidx_pad, rp, c=c, t=t):
+                F = jac_cam[:, :, c : c + t]
+                gb = vpu_einsum("bmf,bm->bf", F, rp)
+                db = jnp.sum(F * F, axis=1)
+                return jnp.concatenate([gb, db], axis=1)
+
+            accs[gi] = accs[gi] + self._cam_reduce(
+                bi, cam_raw[bi], (), row_fn, (2 * t,), row_ops=(r_pad,)
+            )
+        for bi, b in enumerate(blocks):
+            batch = program.batches[bi]
+            for s, gi in enumerate(batch.slot_groups):
+                if padded_slot.get(bi) == s:
+                    continue
+                c, t = ev._slot_cols[bi][s]
+                cols = b.jac[:, :, c : c + t]
+                gb = vpu_einsum("bmi,bm->bi", cols, b.r)
+                db = jnp.sum(cols * cols, axis=1)
+                vals = jnp.concatenate([gb, db], axis=1)
+                accs[gi] = accs[gi] + ev.slot_reduce(bi, s, vals)
+        g = ev.assemble_tangent([a[:, : a.shape[1] // 2] for a in accs])
+        diag = ev.assemble_tangent([a[:, a.shape[1] // 2 :] for a in accs])
+        return g, diag, cam_raw
+
+    def _scale_cam_padded(self, bi, cam_flat, scale):
+        """Apply Jacobi column scaling to a placed UNSCALED padded copy in
+        padded space: the camera columns scale by the row's camera block
+        (a broadcast over the K slots — no gather), the point columns by
+        the row's point block (an e-floats/row gather via pidx_pad, ~8x
+        less data than re-placing the scaled Jacobian). Falls back to
+        None (caller re-places from the scaled rows) when the batch has
+        slots beyond the one camera + eliminated-point pair."""
+        info = self.batch_info[bi]
+        batch = self.ev.program.batches[bi]
+        s, gi, c, t = info["ret_slots"][0]
+        if info["e_col"] is None:
+            return None
+        ec, et = info["e_col"]
+        T = batch.block_tangent_size
+        covers = (c == 0 and ec == t) or (ec == 0 and c == et)
+        if t + et != T or not covers:
+            return None
+        sinfo = self.sorted_info[bi]
+        nc, K = sinfo["nc"], sinfo["K"]
+        m = batch.residual_dim
+        scale_f = self._ret_view(scale, gi)  # (nc, t)
+        scale_e = self._gather_ge(scale)  # (n_pts, et)
+
+        def scale_block(cam_l, pidx_l):
+            rows = cam_l.shape[0]
+            col = jnp.ones((rows, T), cam_l.dtype)
+            fcol = jnp.broadcast_to(
+                scale_f[:, None, :], (nc, K, t)
+            ).reshape(nc * K, t)
+            col = jax.lax.dynamic_update_slice_in_dim(col, fcol, c, axis=1)
+            col = jax.lax.dynamic_update_slice_in_dim(
+                col, scale_e[pidx_l], ec, axis=1
+            )
+            cam3 = cam_l.reshape(rows, m, T) * col[:, None, :]
+            return cam3.reshape(rows, m * T)
+
+        if sinfo["kind"] == "local":
+            return scale_block(cam_flat, sinfo["pidx_pad"])
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.ev.mesh
+        axis = mesh.axis_names[0]
+        return jax.shard_map(
+            lambda cl, pl: scale_block(cl[0], pl[0])[None],
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=P(axis),
+        )(cam_flat, sinfo["pidx_pad"])
+
+    def prepare(self, data, cam_raw=None, scale=None):
         """Per-LINEARIZATION prep over (scaled) solver data — everything
         that does not depend on the damping mu: the E split, the undamped
         per-point ``E^T E``, and the camera-padded Jacobian copies. The LM
@@ -548,7 +651,12 @@ class SchurSolver:
         re-linearizing; hoisting this out of the damped solve removes a
         ~1 GB-traffic rebuild (padded-copy gather + ete reduction) from
         every such re-solve (measured: gathers run at 2.3 GB/s on this
-        chip — BENCH_EXTRA.md round-3 roofline table)."""
+        chip — BENCH_EXTRA.md round-3 roofline table).
+
+        ``cam_raw``/``scale``: when :meth:`gradient_and_diag_padded`
+        already placed the UNSCALED padded copies, pass them with the
+        Jacobi scale — scaling in padded space (broadcast + e-floats/row
+        gather) replaces the second full placement gather."""
         e = self.e_size
         dtype = data[0][1].dtype
         ete0 = jnp.zeros((self.num_points, e, e), dtype=dtype)
@@ -566,7 +674,14 @@ class SchurSolver:
             per_batch.append((r, jac, E))
         cam = {}
         for bi in self.sorted_info:
-            cam[bi] = self._sorted_cam_jac(bi, per_batch[bi][1])
+            placed = None
+            if cam_raw is not None and scale is not None and bi in cam_raw:
+                placed = self._scale_cam_padded(bi, cam_raw[bi], scale)
+            cam[bi] = (
+                placed
+                if placed is not None
+                else self._sorted_cam_jac(bi, per_batch[bi][1])
+            )
         prep = dict(per_batch=per_batch, cam=cam, ete0=ete0)
         gplan = self.explicit_plan or self.cluster_plan
         if gplan is not None and self.hoist_explicit_grid:
@@ -646,36 +761,43 @@ class SchurSolver:
         DeviceLoopMinimizer — after a measured TPU mis-execution of the
         padded-layout consumers inside lax.while_loop that persists
         regardless of carry layout.)"""
+        b, m, t = jac.shape
+        return self._place_rows(bi, jac.reshape(b, m * t))
+
+    def _place_rows(self, bi, flat):
+        """Place (B, W) per-observation rows into the camera-padded order:
+        (nc*K, W) locally, (ns, nc*K, W) row-sharded under a mesh (the
+        placement gather stays shard-local inside shard_map). Sentinel
+        slots become zero rows."""
         sinfo = self.sorted_info[bi]
+        w = flat.shape[-1]
         if sinfo["kind"] == "local":
-            b, m, t = jac.shape
-            flat = jac.reshape(b, m * t)
-            zero_row = jnp.zeros((1, m * t), jac.dtype)
+            zero_row = jnp.zeros((1, w), flat.dtype)
             return jnp.concatenate([flat, zero_row])[sinfo["src"]]
         from jax.sharding import PartitionSpec as P
 
         mesh = self.ev.mesh
         axis = mesh.axis_names[0]
-        b, m, t = jac.shape
 
-        def body(jac_l, src_l):
-            z = jnp.zeros((1, m * t), jac_l.dtype)
-            flat = jac_l.reshape(-1, m * t)
-            return jnp.concatenate([flat, z])[src_l[0]][None]
+        def body(flat_l, src_l):
+            z = jnp.zeros((1, w), flat_l.dtype)
+            return jnp.concatenate([flat_l[0], z])[src_l[0]][None]
 
         return jax.shard_map(
             body,
             mesh=mesh,
             in_specs=(P(axis), P(axis)),
             out_specs=P(axis),
-        )(jac, sinfo["src"])
+        )(flat.reshape(sinfo["src"].shape[0], -1, w), sinfo["src"])
 
-    def _cam_reduce(self, bi, cam, rep, row_fn, out_tail):
+    def _cam_reduce(self, bi, cam, rep, row_fn, out_tail, row_ops=()):
         """Camera-side reduction over a padded batch: ``row_fn(jac_cam,
-        pidx_pad, *rep) -> (nc*K,) + out_tail`` per-padded-row values,
-        summed over each camera's K slots -> ``(nc,) + out_tail``. ``rep``
-        are replicated operands (retained/point vectors). Under a mesh the
-        per-shard partial sums are combined by one psum.
+        pidx_pad, *rep, *row_ops) -> (nc*K,) + out_tail`` per-padded-row
+        values, summed over each camera's K slots -> ``(nc,) + out_tail``.
+        ``rep`` are replicated operands (retained/point vectors);
+        ``row_ops`` are padded-row-aligned operands (e.g. a placed
+        residual copy), sharded like ``cam`` under a mesh. Under a mesh
+        the per-shard partial sums are combined by one psum.
 
         ``cam`` arrives FLAT (rows, m*T) — see :meth:`_sorted_cam_jac` —
         and is reshaped to (rows, m, T) here, inside the consuming
@@ -685,16 +807,18 @@ class SchurSolver:
         m = self.ev.program.batches[bi].residual_dim
         if sinfo["kind"] == "local":
             val = row_fn(cam.reshape(cam.shape[0], m, -1),
-                         sinfo["pidx_pad"], *rep)
+                         sinfo["pidx_pad"], *rep, *row_ops)
             return val.reshape((nc, K) + out_tail).sum(axis=1)
         from jax.sharding import PartitionSpec as P
 
         mesh = self.ev.mesh
         axis = mesh.axis_names[0]
 
-        def body(cam_l, pidx_l, *rep_l):
+        def body(cam_l, pidx_l, *rest):
+            rep_l = rest[: len(rep)]
+            row_l = tuple(r[0] for r in rest[len(rep):])
             cam3 = cam_l[0].reshape(cam_l.shape[1], m, -1)
-            val = row_fn(cam3, pidx_l[0], *rep_l)
+            val = row_fn(cam3, pidx_l[0], *rep_l, *row_l)
             return jax.lax.psum(
                 val.reshape((nc, K) + out_tail).sum(axis=1), axis
             )
@@ -702,9 +826,11 @@ class SchurSolver:
         return jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(axis), P(axis)) + (P(),) * len(rep),
+            in_specs=(P(axis), P(axis))
+            + (P(),) * len(rep)
+            + (P(axis),) * len(row_ops),
             out_specs=P(),
-        )(cam, sinfo["pidx_pad"], *rep)
+        )(cam, sinfo["pidx_pad"], *rep, *row_ops)
 
     def _w_apply(self, asm, v_e):
         """W v_e (points -> cameras): (n_pt, e) -> (N_f,)."""
@@ -1480,7 +1606,15 @@ class SchurSolver:
         """Scalar quadratic form v^T (J^T J) v = ||J v||^2 in ONE forward
         pass over the observations — the model-cost computation needs only
         this scalar, and the reduction half of the full matvec (with its
-        observation-sized output gathers) is pure waste for it."""
+        observation-sized output gathers) is pure waste for it.
+
+        When the camera-padded layout is resident (``prepare()`` dict with
+        ``cam`` copies), the observation batch's pass rides it: the
+        per-row camera vector is a BROADCAST and only the tiny point
+        vector (e floats/row) is gathered — versus the generic path's
+        full per-row tangent gather (T floats/row over every
+        observation)."""
+        prep = data if isinstance(data, dict) else None
         pairs = (
             [(r, jac) for (r, jac, _) in data["per_batch"]]
             if isinstance(data, dict)
@@ -1488,6 +1622,39 @@ class SchurSolver:
         )
         total = jnp.zeros((), dtype=v.dtype)
         for bi, (r, jac) in enumerate(pairs):
+            info = self.batch_info[bi]
+            if (
+                prep is not None
+                and bi in self.sorted_info
+                and bi in prep.get("cam", {})
+                and info["e_col"] is not None
+                and len(info["ret_slots"]) == 1
+            ):
+                ec, et = info["e_col"]
+                s, gi, c, t = info["ret_slots"][0]
+                sinfo = self.sorted_info[bi]
+                nc, K = sinfo["nc"], sinfo["K"]
+                v_e = self._gather_ge(v)
+
+                def row_fn(jac_cam, pidx_pad, vv, ve,
+                           ec=ec, et=et, c=c, t=t, gi=gi, nc=nc, K=K):
+                    vf = jnp.broadcast_to(
+                        self._ret_view(vv, gi)[:, None, :], (nc, K, t)
+                    ).reshape(nc * K, t)
+                    jv = vpu_einsum(
+                        "bmf,bf->bm", jac_cam[:, :, c : c + t], vf
+                    ) + vpu_einsum(
+                        "bme,be->bm",
+                        jac_cam[:, :, ec : ec + et],
+                        ve[pidx_pad],
+                    )
+                    return jnp.sum(jv * jv, axis=1)
+
+                per_cam = self._cam_reduce(
+                    bi, prep["cam"][bi], (v, v_e), row_fn, ()
+                )
+                total = total + jnp.sum(per_cam)
+                continue
             jv = vpu_einsum("bmi,bi->bm", jac, self.ev.v_rows(bi, v))
             total = total + jnp.sum(jv * jv)  # padded rows: zero jacs
         return total

@@ -143,6 +143,16 @@ def solve(
             pair_cap=options.schur_pair_cap,
             cluster_size=options.cluster_jacobi_size,
         )
+        from skeres_tpu.core.types import PreconditionerType
+
+        if options.preconditioner_type == PreconditionerType.SUBSET:
+            # reference semantics: SUBSET serves CGNR only; the Schur
+            # solvers downgrade to diagonal scaling
+            logging.getLogger("skeres_tpu").warning(
+                "SUBSET preconditioner is CGNR-only (reference: "
+                "subset_preconditioner.cc); downgrading to JACOBI"
+            )
+            summary.preconditioner_type_used = PreconditionerType.JACOBI
         summary.schur_complement_path = schur_solver.schur_path
         if schur_solver.explicit_reject_reason is not None:
             # a wanted explicit-S plan was rejected; the fallback can be

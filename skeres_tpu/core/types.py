@@ -55,6 +55,13 @@ class PreconditionerType(enum.Enum):
     # view locality in BAL datasets — since canonical-views clustering is
     # a serial CPU graph algorithm with no TPU mapping)
     CLUSTER_JACOBI = "CLUSTER_JACOBI"
+    # J_sub^T J_sub + D over a user-tagged residual-block subset
+    # (reference: subset_preconditioner.cc; CGNR only). The reference
+    # factors it with a sparse Cholesky; here the subset normal matrix is
+    # formed densely and Cholesky-factored on the MXU — viable for the
+    # problem sizes CGNR serves on this backend (documented deviation:
+    # no general sparse factorization on TPU)
+    SUBSET = "SUBSET"
 
 
 class LineSearchDirectionType(enum.Enum):

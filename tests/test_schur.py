@@ -505,3 +505,107 @@ def test_cluster_jacobi_downgrades_without_structure():
         problem,
     )
     assert s.final_cost < 1e-6 or s.termination_type is not None
+
+
+def test_jtj_quadratic_padded_matches_generic():
+    """jtj_quadratic's camera-padded fast path (broadcast camera vector,
+    e-only point gather) must equal the generic per-row tangent-gather
+    path."""
+    import jax.numpy as jnp
+
+    from skeres_tpu.core.evaluator import Evaluator
+    from skeres_tpu.core.schur import SchurSolver
+    from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+    bal = synthetic_bal(num_cameras=7, num_points=60, observations_per_point=4)
+    problem, _, _ = build_bal_problem(bal)
+    program = problem.compile()
+    ev = Evaluator(program)
+    state = program.initial_state(ev.dtype)
+    _, blocks = jax.jit(ev.blocks)(state)
+
+    srt = SchurSolver(ev, iterative=False, sort_threshold=1)
+    assert srt.sorted_info
+    data = srt.solver_data(blocks)
+    prep = jax.jit(srt.prepare)(data)
+
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.normal(size=(ev.num_tangent,)), dtype=ev.dtype)
+    q_padded = jax.jit(srt.jtj_quadratic)(prep, v)
+    q_generic = jax.jit(srt.jtj_quadratic)(data, v)
+    np.testing.assert_allclose(
+        float(q_padded), float(q_generic), rtol=1e-6
+    )
+
+
+def test_padded_gradient_diag_and_scale_match_generic():
+    """gradient_and_diag_padded must equal the evaluator's generic
+    reductions, and prepare(cam_raw, scale) — scaling the placed copy in
+    padded space — must equal prepare() over pre-scaled rows."""
+    import jax.numpy as jnp
+
+    from skeres_tpu.core.evaluator import Evaluator
+    from skeres_tpu.core.schur import SchurSolver
+    from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+    bal = synthetic_bal(num_cameras=9, num_points=70, observations_per_point=3)
+    problem, _, _ = build_bal_problem(bal)
+    program = problem.compile()
+    ev = Evaluator(program)
+    state = program.initial_state(ev.dtype)
+    _, blocks = jax.jit(ev.blocks)(state)
+
+    srt = SchurSolver(ev, iterative=False, sort_threshold=1)
+    assert srt.sorted_info
+
+    g0, d0 = jax.jit(ev.gradient_and_diag)(blocks)
+    g1, d1, cam_raw = jax.jit(srt.gradient_and_diag_padded)(blocks)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-6,
+                               atol=1e-12)
+
+    scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(d0, 0.0)))
+    data = srt.solver_data(blocks)
+    sdata = srt.scale_data(data, scale)
+    prep_ref = jax.jit(srt.prepare)(sdata)
+    prep_new = jax.jit(
+        lambda sd, cr, sc: srt.prepare(sd, cam_raw=cr, scale=sc)
+    )(sdata, cam_raw, scale)
+    for bi in srt.sorted_info:
+        np.testing.assert_allclose(
+            np.asarray(prep_new["cam"][bi]),
+            np.asarray(prep_ref["cam"][bi]),
+            rtol=1e-6,
+            atol=1e-12,
+        )
+
+
+def test_padded_linearize_end_to_end_trajectory():
+    """Full solves with the padded-linearize path (sort_threshold forced
+    on) and the generic path must produce the same trajectory."""
+    import skeres_tpu as st
+    from skeres_tpu.core.options import SolverOptions
+    from skeres_tpu.core.types import LinearSolverType
+    from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+    bal = synthetic_bal(num_cameras=8, num_points=90, observations_per_point=3)
+
+    def run(thresh):
+        problem, cams, _ = build_bal_problem(bal)
+        s = st.solve(
+            SolverOptions(
+                linear_solver_type=LinearSolverType.DENSE_SCHUR,
+                max_num_iterations=12,
+                jacobian_sort_threshold=thresh,
+                jacobian_pad_waste=100.0,
+            ),
+            problem,
+        )
+        return s, cams.values.copy()
+
+    s0, c0 = run(10**9)
+    s1, c1 = run(1)
+    assert s0.num_successful_steps == s1.num_successful_steps
+    np.testing.assert_allclose(s1.final_cost, s0.final_cost, rtol=1e-5)
+    np.testing.assert_allclose(c1, c0, rtol=1e-4, atol=1e-7)

@@ -243,3 +243,40 @@ def test_sharded_iterative_explicit_solve(mesh, bal):
         problem1,
     )
     np.testing.assert_allclose(s8.final_cost, s1.final_cost, rtol=1e-4)
+
+
+@requires_multidevice
+def test_sharded_padded_gradient_diag_matches_generic(mesh, bal):
+    """gradient_and_diag_padded under a mesh (per-shard K-sums + one
+    psum) must equal the generic sharded reductions, and the
+    padded-space scaling must equal re-placing scaled rows."""
+    from skeres_tpu.core.schur import SchurSolver
+
+    problem, _, _ = build_bal_problem(bal)
+    program = problem.compile()
+    ev = Evaluator(program, mesh=mesh)
+    state = ev.prepare_state(program.initial_state(ev.dtype))
+    _, blocks = jax.jit(ev.blocks)(state)
+
+    schur = SchurSolver(
+        ev, iterative=True, sort_threshold=1, pad_waste=100.0
+    )
+    assert schur.sorted_info
+    g0, d0 = jax.jit(ev.gradient_and_diag)(blocks)
+    g1, d1, cam_raw = jax.jit(schur.gradient_and_diag_padded)(blocks)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-9)
+
+    scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(d0, 0.0)))
+    data = schur.solver_data(blocks)
+    sdata = schur.scale_data(data, scale)
+    prep_ref = jax.jit(schur.prepare)(sdata)
+    prep_new = jax.jit(
+        lambda sd, cr, sc: schur.prepare(sd, cam_raw=cr, scale=sc)
+    )(sdata, cam_raw, scale)
+    for bi in schur.sorted_info:
+        np.testing.assert_allclose(
+            np.asarray(prep_new["cam"][bi]),
+            np.asarray(prep_ref["cam"][bi]),
+            rtol=1e-9,
+        )
