@@ -206,20 +206,25 @@ def _uniformize_shard_levels(per_shard, n_rows0: int, cap: int):
 
 
 def _pair_metadata(
-    grid_cam: np.ndarray, num_cameras: int, iu, ju, cluster_of=None
+    grid_cam: np.ndarray, num_cameras: int, iu, ju, cluster_of=None,
+    cluster_band=False,
 ):
     """Per-point-row pair bookkeeping from a (Pn, kp) camera grid:
     (swap (Pn, npair) bool, valid (Pn, npair) bool, pair_id (Pn*npair,)
     with -1 for invalid). With ``cluster_of`` (a (num_cameras,) cluster id
     per camera), pairs whose cameras live in different clusters are
-    dropped — the CLUSTER_JACOBI restriction."""
+    dropped — the CLUSTER_JACOBI restriction; ``cluster_band=True`` also
+    keeps ADJACENT-cluster pairs (the CLUSTER_TRIDIAGONAL band)."""
     npair = len(iu)
     ca = grid_cam[:, iu].reshape(-1)
     cb = grid_cam[:, ju].reshape(-1)
     pair_valid = (ca >= 0) & (cb >= 0)
     if cluster_of is not None:
         cl = np.asarray(cluster_of)
-        pair_valid &= cl[np.clip(ca, 0, None)] == cl[np.clip(cb, 0, None)]
+        dcl = np.abs(
+            cl[np.clip(ca, 0, None)] - cl[np.clip(cb, 0, None)]
+        )
+        pair_valid &= dcl <= (1 if cluster_band else 0)
     swap = ca > cb
     lo = np.where(swap, cb, ca)
     hi = np.where(swap, ca, cb)
@@ -261,6 +266,8 @@ class ExplicitSchurPlan:
         cluster_of: Optional[np.ndarray] = None,  # (nc,) cluster id per
         # camera: restrict pairs to intra-cluster (CLUSTER_JACOBI plan —
         # the unique-pair table then stays tiny however many cameras)
+        cluster_band: bool = False,  # also keep adjacent-cluster pairs
+        # and build the (c, c+1) band block maps (CLUSTER_TRIDIAGONAL)
     ):
         B = len(cam_idx)
         if n_valid is None:
@@ -276,6 +283,7 @@ class ExplicitSchurPlan:
             None if cluster_of is None
             else np.asarray(cluster_of, dtype=np.int64)
         )
+        self.cluster_band = bool(cluster_band)
 
         # -- global point grid stats + skew gate --------------------------
         pt_v = pt_idx[:n_valid]
@@ -314,7 +322,8 @@ class ExplicitSchurPlan:
         grid_cam[gvalid] = cam_idx[grid_src[gvalid]]
         grid_cam = grid_cam.reshape(num_points, kp)
         swap_g, valid_g, pair_id_g = _pair_metadata(
-            grid_cam, num_cameras, iu, ju, self.cluster_of
+            grid_cam, num_cameras, iu, ju, self.cluster_of,
+            self.cluster_band,
         )
         uniq = np.unique(pair_id_g[pair_id_g >= 0])
         self.n_uniq = n_uniq = len(uniq)
@@ -390,6 +399,37 @@ class ExplicitSchurPlan:
             self.n_clusters = ncl
             self.cluster_slot_size = cs
             self.cluster_cam_of = cam_of  # (ncl, cs) host-side, -1 = pad
+            if self.cluster_band and ncl > 1:
+                # (c, c+1) band block maps (CLUSTER_TRIDIAGONAL): slot
+                # (c, i, j) -> uniq index of the pair (cam_of[c, i],
+                # cam_of[c+1, j]); unobserved pairs hit the sentinel and
+                # read a zero block. Both orientations are mapped (like
+                # the intra-cluster maps) so the build is correct for any
+                # cluster_of, not just contiguous ranges.
+                a = np.broadcast_to(
+                    cam_of[:-1, :, None], (ncl - 1, cs, cs)
+                )
+                b = np.broadcast_to(
+                    cam_of[1:, None, :], (ncl - 1, cs, cs)
+                )
+                ok = (a >= 0) & (b >= 0)
+                flatpos = np.where(
+                    ok,
+                    np.clip(a, 0, None) * num_cameras
+                    + np.clip(b, 0, None),
+                    0,
+                ).reshape(-1)
+                self.band_map_u = jnp.asarray(
+                    np.where(ok.reshape(-1), pos2u[flatpos], n_uniq)
+                    .astype(np.int32)
+                )
+                self.band_map_l = jnp.asarray(
+                    np.where(ok.reshape(-1), pos2u_t[flatpos], n_uniq)
+                    .astype(np.int32)
+                )
+            else:
+                self.band_map_u = None
+                self.band_map_l = None
 
     # -- sharded planning --------------------------------------------------
 
@@ -756,6 +796,39 @@ class ExplicitSchurPlan:
         out = jax.lax.map(rearr, g.reshape(nch, cch, cs * f * f))
         out = out.reshape(nch * cch * f, cs * f)[: rows * f]
         return out.reshape(ncl, cs * f, cs * f)
+
+    def cluster_band_offdiag(self, uniq_flat, chunk_cams: int = 1024):
+        """Batched (n_clusters-1, cs*f, cs*f) CORRECTION blocks coupling
+        cluster c (rows) to cluster c+1 (cols) — the CLUSTER_TRIDIAGONAL
+        band. Same gather-build idiom as :meth:`cluster_offdiag` over the
+        band block maps; requires the plan built with
+        ``cluster_band=True``."""
+        assert self.band_map_u is not None, "plan built without cluster_band"
+        ncl, cs, f = self.n_clusters, self.cluster_slot_size, self.f
+        zero = jnp.zeros((1, f * f), uniq_flat.dtype)
+        padded = jnp.concatenate([uniq_flat, zero])
+        b81 = padded[self.band_map_u] + padded[self.band_map_l][
+            :, self.perm_t
+        ]  # ((ncl-1)*cs*cs, f*f)
+
+        rows = (ncl - 1) * cs
+        g = b81.reshape(rows, cs * f * f)
+        cch = min(chunk_cams, rows)
+        nch = -(-rows // cch)
+        pad = nch * cch - rows
+        if pad:
+            g = jnp.pad(g, ((0, pad), (0, 0)))
+
+        def rearr(blk):  # (cch, cs*f*f) -> (cch*f, cs*f)
+            return (
+                blk.reshape(cch, cs, f, f)
+                .swapaxes(1, 2)
+                .reshape(cch * f, cs * f)
+            )
+
+        out = jax.lax.map(rearr, g.reshape(nch, cch, cs * f * f))
+        out = out.reshape(nch * cch * f, cs * f)[: rows * f]
+        return out.reshape(ncl - 1, cs * f, cs * f)
 
     def dense_s_offdiag(self, uniq_flat, chunk_cams: int = 127):
         """Gather-build the (nc*f, nc*f) off-diagonal correction from the

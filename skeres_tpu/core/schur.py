@@ -431,7 +431,11 @@ class SchurSolver:
         self.cluster_plan = None
         if (
             iterative
-            and preconditioner == PreconditionerType.CLUSTER_JACOBI
+            and preconditioner
+            in (
+                PreconditionerType.CLUSTER_JACOBI,
+                PreconditionerType.CLUSTER_TRIDIAGONAL,
+            )
             and self.e_batch is not None
             and len(self.ret_blocks) == 1
             and len(self.batch_info[self.e_batch]["ret_slots"]) == 1
@@ -460,6 +464,10 @@ class SchurSolver:
                     mesh=evaluator.mesh,
                     n_shards=evaluator._n_shards,
                     cluster_of=np.arange(nc) // max(cluster_size, 1),
+                    cluster_band=(
+                        preconditioner
+                        == PreconditionerType.CLUSTER_TRIDIAGONAL
+                    ),
                 )
             except ValueError:
                 self.cluster_plan = None
@@ -1396,12 +1404,22 @@ class SchurSolver:
             ):
                 precond = self._cluster_jacobi_precond(asm)
 
+            elif (
+                self.preconditioner
+                == PreconditionerType.CLUSTER_TRIDIAGONAL
+                and self.cluster_plan is not None
+                and self.cluster_plan.n_clusters > 1
+            ):
+                precond = self._cluster_tridiag_precond(asm)
+
             elif self.preconditioner in (
                 PreconditionerType.SCHUR_JACOBI,
-                # CLUSTER_JACOBI downgrades to SCHUR_JACOBI when the
-                # problem structure doesn't admit the cluster plan
-                # (reference preprocessor downgrade semantics)
+                # the cluster preconditioners downgrade to SCHUR_JACOBI
+                # when the problem structure doesn't admit the cluster
+                # plan (reference preprocessor downgrade semantics); a
+                # single cluster makes TRIDIAGONAL degenerate too
                 PreconditionerType.CLUSTER_JACOBI,
+                PreconditionerType.CLUSTER_TRIDIAGONAL,
             ):
                 blocks = self._schur_jacobi_blocks(asm)
                 precond = self._block_inverse_apply(blocks)
@@ -1468,14 +1486,11 @@ class SchurSolver:
         ].set(dx_e.reshape(-1))
         return dx, iters, jitter_out
 
-    def _cluster_jacobi_precond(self, asm):
-        """CLUSTER_JACOBI: factor the block-diagonal-of-S by camera
-        cluster. The intra-cluster-restricted pair-product plan supplies
-        the off-diagonal coupling; per-camera diagonal blocks (incl. the
-        same-observation correction and damping) come from the
-        SCHUR_JACOBI machinery; the batched cluster matrices are factored
-        once per damped solve and applied with two batched triangular
-        solves per PCG iteration."""
+    def _cluster_mats(self, asm):
+        """Shared cluster-preconditioner assembly: the (ncl, cs*f, cs*f)
+        block-diagonal-of-S cluster matrices (pair correction + per-camera
+        diagonal blocks + damping) plus the unique-pair table (the
+        TRIDIAGONAL band reuses it) and the boost bookkeeping."""
         plan = self.cluster_plan
         f = plan.f
         ncl, cs = plan.n_clusters, plan.cluster_slot_size
@@ -1524,6 +1539,20 @@ class SchurSolver:
         )  # (ncl, 1)
 
         eye_full = (rr[:, None] == rr[None, :]).astype(mats.dtype)
+        return mats, uniq, dmax, rr, eye_full
+
+    def _cluster_jacobi_precond(self, asm):
+        """CLUSTER_JACOBI: factor the block-diagonal-of-S by camera
+        cluster. The intra-cluster-restricted pair-product plan supplies
+        the off-diagonal coupling; per-camera diagonal blocks (incl. the
+        same-observation correction and damping) come from the
+        SCHUR_JACOBI machinery; the batched cluster matrices are factored
+        once per damped solve and applied with two batched triangular
+        solves per PCG iteration."""
+        plan = self.cluster_plan
+        f = plan.f
+        ncl, cs = plan.n_clusters, plan.cluster_slot_size
+        mats, _uniq, dmax, rr, eye_full = self._cluster_mats(asm)
 
         def boosted(eps_rel):
             m = mats + (eps_rel * dmax)[:, :, None] * eye_full[None]
@@ -1560,6 +1589,99 @@ class SchurSolver:
             vb = vb.reshape(ncl, cs * f)
             y = jnp.einsum("bij,bj->bi", linv, vb)
             x = jnp.einsum("bji,bj->bi", linv, y)
+            return x.reshape(ncl * cs, f)[pos].reshape(-1)
+
+        return precond
+
+    def _cluster_tridiag_precond(self, asm):
+        """CLUSTER_TRIDIAGONAL (reference:
+        visibility_based_preconditioner.cc): the CLUSTER_JACOBI diagonal
+        plus the adjacent-cluster coupling band, factored by BLOCK LDL^T
+        along the cluster chain. All triangular solves happen HERE, once
+        per damped solve, against identity — the PCG loop applies only
+        GEMV scans (the in-loop tri-solve TPU hazard, see
+        _cluster_jacobi_precond). Clusters are contiguous camera-index
+        ranges (documented deviation: the reference couples clusters via
+        a spanning forest of the visibility graph)."""
+        plan = self.cluster_plan
+        if plan.n_clusters == 1:
+            return self._cluster_jacobi_precond(asm)
+        f = plan.f
+        ncl, cs = plan.n_clusters, plan.cluster_slot_size
+        csf = cs * f
+        mats, uniq, dmax, rr, eye_full = self._cluster_mats(asm)
+        # B_c couples cluster c (rows) to c+1 (cols); correction enters S
+        # negated, like the diagonal's off-slot terms
+        band = -plan.cluster_band_offdiag(uniq)  # (ncl-1, csf, csf)
+
+        boost0 = self.cluster_boost
+        d_mats = mats + (boost0 * dmax)[:, :, None] * eye_full[None]
+
+        def safe_inv(m, dmax_c):
+            """PD-robust inverse via Cholesky: pivots judged against the
+            boost actually added (isfinite alone misses finite-garbage
+            factors — measured, see _cluster_jacobi_precond); bad blocks
+            refactor with a 1e-1 boost."""
+            chol1 = jax.lax.linalg.cholesky(m)
+            piv = jnp.diagonal(chol1)
+            bad = (~jnp.all(jnp.isfinite(chol1))) | (
+                jnp.min(piv) ** 2 < 0.25 * boost0 * dmax_c
+            )
+            m2 = m + (1e-1 * dmax_c) * eye_full
+            chol = jnp.where(bad, jax.lax.linalg.cholesky(m2), chol1)
+            linv = jax.lax.linalg.triangular_solve(
+                chol, eye_full, left_side=True, lower=True,
+                transpose_a=False,
+            )
+            return linv.T @ linv
+
+        # block LDL^T down the chain (ncl is static and modest, so the
+        # host loop unrolls): dhat_0 = D_0; L_c = B_{c-1}^T dhatinv_{c-1};
+        # dhat_c = D_c - L_c B_{c-1}
+        dh_inv = safe_inv(d_mats[0], dmax[0, 0])
+        dhatinv = [dh_inv]
+        l_blocks = []
+        for c in range(1, ncl):
+            b_prev = band[c - 1]
+            l_c = b_prev.T @ dh_inv
+            dh = d_mats[c] - l_c @ b_prev
+            dh = 0.5 * (dh + dh.T)
+            dh_inv = safe_inv(dh, dmax[c, 0])
+            dhatinv.append(dh_inv)
+            l_blocks.append(l_c)
+        dhatinv = jnp.stack(dhatinv)  # (ncl, csf, csf)
+        l_stack = jnp.stack(l_blocks)  # (ncl-1, csf, csf)
+
+        pos = self._cluster_pos_of_cam
+        slot_cam = self._cluster_slot_cam
+
+        def precond(v):
+            vblk = v.reshape(-1, f)
+            zero = jnp.zeros((1, f), v.dtype)
+            vb = jnp.concatenate([vblk, zero])[slot_cam].reshape(ncl, csf)
+
+            # forward substitution L z = r (GEMV scan down the chain)
+            def fwd(z_prev, inp):
+                l_c, r_c = inp
+                z = r_c - l_c @ z_prev
+                return z, z
+
+            z0 = vb[0]
+            _, zs = jax.lax.scan(fwd, z0, (l_stack, vb[1:]))
+            z = jnp.concatenate([z0[None], zs])
+            w = jnp.einsum("bij,bj->bi", dhatinv, z)
+
+            # back substitution L^T x = w (reverse scan)
+            def bwd(x_next, inp):
+                l_c1, w_c = inp
+                x = w_c - l_c1.T @ x_next
+                return x, x
+
+            x_last = w[-1]
+            _, xs = jax.lax.scan(
+                bwd, x_last, (l_stack, w[:-1]), reverse=True
+            )
+            x = jnp.concatenate([xs, x_last[None]])
             return x.reshape(ncl * cs, f)[pos].reshape(-1)
 
         return precond

@@ -55,6 +55,14 @@ class PreconditionerType(enum.Enum):
     # view locality in BAL datasets — since canonical-views clustering is
     # a serial CPU graph algorithm with no TPU mapping)
     CLUSTER_JACOBI = "CLUSTER_JACOBI"
+    # block-TRIDIAGONAL-of-S over the same camera clusters: the
+    # CLUSTER_JACOBI diagonal plus the (c, c+1) adjacent-cluster coupling
+    # band, factored by block LDL^T (reference:
+    # visibility_based_preconditioner.cc CLUSTER_TRIDIAGONAL; the
+    # reference couples clusters by a degree-2 maximum spanning forest of
+    # the visibility graph — here the chain over contiguous camera-index
+    # ranges, the same clustering deviation as CLUSTER_JACOBI)
+    CLUSTER_TRIDIAGONAL = "CLUSTER_TRIDIAGONAL"
     # J_sub^T J_sub + D over a user-tagged residual-block subset
     # (reference: subset_preconditioner.cc; CGNR only). The reference
     # factors it with a sparse Cholesky; here the subset normal matrix is

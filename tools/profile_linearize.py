@@ -154,10 +154,62 @@ def main():
         out = None
         return dt
 
+    from skeres_tpu.core.linear_solvers import lm_diagonal as _lmd
+
+    def upto_scaledata(c, state):
+        with ev.bind(c):
+            cost, blocks = ev.blocks(state)
+            g, diag, cam_raw = _gdiag(blocks)
+            scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
+            data = tuple((b.r, b.jac) for b in blocks)
+            return cost, g, diag, scale, schur.scale_data(data, scale), cam_raw
+
+    def _prep_parts(c, state, with_grid):
+        cost, blocks = ev.blocks(state)
+        g, diag, cam_raw = _gdiag(blocks)
+        scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
+        data = tuple((b.r, b.jac) for b in blocks)
+        old = schur.hoist_explicit_grid
+        schur.hoist_explicit_grid = with_grid
+        try:
+            prep = schur.prepare(
+                schur.scale_data(data, scale), cam_raw=cam_raw, scale=scale
+            )
+        finally:
+            schur.hoist_explicit_grid = old
+        return cost, g, diag, scale, prep
+
+    def upto_prep_nogrid(c, state):
+        with ev.bind(c):
+            return _prep_parts(c, state, False)
+
+    def upto_assemble(c, state):
+        with ev.bind(c):
+            cost, g, diag, scale, prep = _prep_parts(c, state, True)
+            gs = g * scale
+            d = _lmd(diag * scale * scale, mu, 1e-6, 1e32)
+            asm = schur._assemble(prep, gs, d)
+            rhs = schur._schur_rhs(asm)
+            return cost, g, diag, scale, prep, rhs
+
+    def upto_dense_s(c, state):
+        with ev.bind(c):
+            cost, g, diag, scale, prep = _prep_parts(c, state, True)
+            gs = g * scale
+            d = _lmd(diag * scale * scale, mu, 1e-6, 1e32)
+            asm = schur._assemble(prep, gs, d)
+            rhs = schur._schur_rhs(asm)
+            s_mat = schur._dense_s(asm)
+            return cost, g, diag, scale, prep, rhs, s_mat
+
     stages = [
         ("P1 blocks (eval)", upto_blocks),
         ("P2 +g/diag", upto_gdiag),
+        ("P3a +scale_data", upto_scaledata),
+        ("P3b +prep-sans-grid", upto_prep_nogrid),
         ("P3 +scale+prep", upto_prep),
+        ("P4a +assemble+rhs", upto_assemble),
+        ("P4b +dense_s", upto_dense_s),
         ("P4 +damped solve", upto_solve),
         ("P5 +mcc+try", upto_try),
     ]
