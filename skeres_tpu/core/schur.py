@@ -546,6 +546,20 @@ class SchurSolver:
             self.num_points, self.e_size
         )
 
+    def _cam_conj(self, asm, bi):
+        """Conjugation factors for consuming an UNSCALED padded copy in
+        scaled space (prepare() reuses gradient_and_diag_padded's raw
+        placement; the Jacobi scaling is diagonal so J_s = J S factors
+        out of every padded product): (s_ret (N_f,), s_f (nc, t),
+        s_e (n_pts, e)). None when the copy is pre-scaled."""
+        scale = asm.get("cam_scale")
+        if scale is None:
+            return None
+        info = self.batch_info[bi]
+        s, gi, c, t = info["ret_slots"][0]
+        s_ret = scale[self._ret_index_dev]
+        return s_ret, self._ret_view(s_ret, gi), self._gather_ge(scale)
+
     # -- shared assembly pieces ---------------------------------------------------
 
     def gradient_and_diag_padded(self, blocks):
@@ -601,56 +615,6 @@ class SchurSolver:
         diag = ev.assemble_tangent([a[:, a.shape[1] // 2 :] for a in accs])
         return g, diag, cam_raw
 
-    def _scale_cam_padded(self, bi, cam_flat, scale):
-        """Apply Jacobi column scaling to a placed UNSCALED padded copy in
-        padded space: the camera columns scale by the row's camera block
-        (a broadcast over the K slots — no gather), the point columns by
-        the row's point block (an e-floats/row gather via pidx_pad, ~8x
-        less data than re-placing the scaled Jacobian). Falls back to
-        None (caller re-places from the scaled rows) when the batch has
-        slots beyond the one camera + eliminated-point pair."""
-        info = self.batch_info[bi]
-        batch = self.ev.program.batches[bi]
-        s, gi, c, t = info["ret_slots"][0]
-        if info["e_col"] is None:
-            return None
-        ec, et = info["e_col"]
-        T = batch.block_tangent_size
-        covers = (c == 0 and ec == t) or (ec == 0 and c == et)
-        if t + et != T or not covers:
-            return None
-        sinfo = self.sorted_info[bi]
-        nc, K = sinfo["nc"], sinfo["K"]
-        m = batch.residual_dim
-        scale_f = self._ret_view(scale, gi)  # (nc, t)
-        scale_e = self._gather_ge(scale)  # (n_pts, et)
-
-        def scale_block(cam_l, pidx_l):
-            rows = cam_l.shape[0]
-            col = jnp.ones((rows, T), cam_l.dtype)
-            fcol = jnp.broadcast_to(
-                scale_f[:, None, :], (nc, K, t)
-            ).reshape(nc * K, t)
-            col = jax.lax.dynamic_update_slice_in_dim(col, fcol, c, axis=1)
-            col = jax.lax.dynamic_update_slice_in_dim(
-                col, scale_e[pidx_l], ec, axis=1
-            )
-            cam3 = cam_l.reshape(rows, m, T) * col[:, None, :]
-            return cam3.reshape(rows, m * T)
-
-        if sinfo["kind"] == "local":
-            return scale_block(cam_flat, sinfo["pidx_pad"])
-        from jax.sharding import PartitionSpec as P
-
-        mesh = self.ev.mesh
-        axis = mesh.axis_names[0]
-        return jax.shard_map(
-            lambda cl, pl: scale_block(cl[0], pl[0])[None],
-            mesh=mesh,
-            in_specs=(P(axis), P(axis)),
-            out_specs=P(axis),
-        )(cam_flat, sinfo["pidx_pad"])
-
     def prepare(self, data, cam_raw=None, scale=None):
         """Per-LINEARIZATION prep over (scaled) solver data — everything
         that does not depend on the damping mu: the E split, the undamped
@@ -681,16 +645,22 @@ class SchurSolver:
                 )
             per_batch.append((r, jac, E))
         cam = {}
+        cam_scale = None
         for bi in self.sorted_info:
-            placed = None
             if cam_raw is not None and scale is not None and bi in cam_raw:
-                placed = self._scale_cam_padded(bi, cam_raw[bi], scale)
-            cam[bi] = (
-                placed
-                if placed is not None
-                else self._sorted_cam_jac(bi, per_batch[bi][1])
-            )
-        prep = dict(per_batch=per_batch, cam=cam, ete0=ete0)
+                # reuse the UNSCALED copies placed by
+                # gradient_and_diag_padded; consumers conjugate with the
+                # small per-camera/per-point scale vectors instead of a
+                # full scaling pass over the ~0.5 GB copy (exact: the
+                # Jacobi scaling is diagonal, so J_s = J S factors out of
+                # every padded product)
+                cam[bi] = cam_raw[bi]
+                cam_scale = scale
+            else:
+                cam[bi] = self._sorted_cam_jac(bi, per_batch[bi][1])
+        prep = dict(
+            per_batch=per_batch, cam=cam, ete0=ete0, cam_scale=cam_scale
+        )
         gplan = self.explicit_plan or self.cluster_plan
         if gplan is not None and self.hoist_explicit_grid:
             # hoisted mu-independent half of explicit-S assembly: the flat
@@ -751,6 +721,7 @@ class SchurSolver:
             d_f=d_f,
             g_e=g_e,
             cam=prep["cam"],
+            cam_scale=prep.get("cam_scale"),
             explicit_grid=prep.get("explicit_grid"),
         )
 
@@ -858,9 +829,14 @@ class SchurSolver:
                         "bmf,bm->bf", jac_cam[:, :, c : c + t], Ev
                     )
 
-                accs[gi] = accs[gi] + self._cam_reduce(
-                    bi, asm["cam"][bi], (v_e,), row_fn, (t,)
+                conj = self._cam_conj(asm, bi)
+                ve_in = v_e if conj is None else v_e * conj[2]
+                red = self._cam_reduce(
+                    bi, asm["cam"][bi], (ve_in,), row_fn, (t,)
                 )
+                if conj is not None:
+                    red = red * conj[1]
+                accs[gi] = accs[gi] + red
                 continue
             Ev = vpu_einsum("bme,be->bm", E, v_e[info["pidx"]])
             for s, gi, c, t in info["ret_slots"]:
@@ -908,9 +884,14 @@ class SchurSolver:
                     Fv = vpu_einsum("bmf,bf->bm", Fs, vs)
                     return vpu_einsum("bmf,bm->bf", Fs, Fv)
 
-                accs[gi] = accs[gi] + self._cam_reduce(
-                    bi, asm["cam"][bi], (v_f,), row_fn, (t,)
+                conj = self._cam_conj(asm, bi)
+                v_in = v_f if conj is None else v_f * conj[0]
+                red = self._cam_reduce(
+                    bi, asm["cam"][bi], (v_in,), row_fn, (t,)
                 )
+                if conj is not None:
+                    red = red * conj[1]
+                accs[gi] = accs[gi] + red
                 continue
             _, idx_pad, _, _, _ = self.ev._batch_const[bi]
             Fv = jnp.zeros((jac.shape[0], jac.shape[1]), dtype=v_f.dtype)
@@ -976,9 +957,19 @@ class SchurSolver:
                         ftf = ftf - vpu_einsum("bfe,bge->bfg", Y, A)
                     return ftf
 
-                outs[gi] = outs[gi] + self._cam_reduce(
-                    bi, asm["cam"][bi], (asm["cinv"],), row_fn, (t, t)
+                conj = self._cam_conj(asm, bi)
+                if conj is None:
+                    cinv_in = asm["cinv"]
+                else:
+                    se = conj[2]
+                    cinv_in = asm["cinv"] * se[:, :, None] * se[:, None, :]
+                red = self._cam_reduce(
+                    bi, asm["cam"][bi], (cinv_in,), row_fn, (t, t)
                 )
+                if conj is not None:
+                    sf = conj[1]
+                    red = red * sf[:, :, None] * sf[:, None, :]
+                outs[gi] = outs[gi] + red
                 continue
             for s, gi, c, t in info["ret_slots"]:
                 Fs = jac[:, :, c : c + t]
@@ -1757,6 +1748,13 @@ class SchurSolver:
                 sinfo = self.sorted_info[bi]
                 nc, K = sinfo["nc"], sinfo["K"]
                 v_e = self._gather_ge(v)
+                v_ret = v[self._ret_index_dev]
+                conj = self._cam_conj(prep, bi)
+                if conj is not None:
+                    # unscaled copy: J_s y = (F s_f) y_f + (E s_e) y_e —
+                    # pre-scale the replicated vectors, output invariant
+                    v_ret = v_ret * conj[0]
+                    v_e = v_e * conj[2]
 
                 def row_fn(jac_cam, pidx_pad, vv, ve,
                            ec=ec, et=et, c=c, t=t, gi=gi, nc=nc, K=K):
@@ -1773,7 +1771,7 @@ class SchurSolver:
                     return jnp.sum(jv * jv, axis=1)
 
                 per_cam = self._cam_reduce(
-                    bi, prep["cam"][bi], (v, v_e), row_fn, ()
+                    bi, prep["cam"][bi], (v_ret, v_e), row_fn, ()
                 )
                 total = total + jnp.sum(per_cam)
                 continue

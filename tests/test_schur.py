@@ -565,6 +565,11 @@ def test_padded_gradient_diag_and_scale_match_generic():
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-6,
                                atol=1e-12)
 
+    # prep over reused UNSCALED copies (consumers conjugate with the
+    # scale vectors) must produce the same solver quantities as prep over
+    # re-placed pre-scaled rows
+    from skeres_tpu.core.linear_solvers import lm_diagonal
+
     scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(d0, 0.0)))
     data = srt.solver_data(blocks)
     sdata = srt.scale_data(data, scale)
@@ -572,13 +577,30 @@ def test_padded_gradient_diag_and_scale_match_generic():
     prep_new = jax.jit(
         lambda sd, cr, sc: srt.prepare(sd, cam_raw=cr, scale=sc)
     )(sdata, cam_raw, scale)
-    for bi in srt.sorted_info:
-        np.testing.assert_allclose(
-            np.asarray(prep_new["cam"][bi]),
-            np.asarray(prep_ref["cam"][bi]),
-            rtol=1e-6,
-            atol=1e-12,
-        )
+    gs = g0 * scale
+    d = lm_diagonal(d0 * scale * scale, 1e-3, 1e-6, 1e32)
+    rng = np.random.default_rng(1)
+    for prep, label in ((prep_ref, "ref"), (prep_new, "reused")):
+        asm = jax.jit(lambda p: srt._assemble(p, gs, d))(prep)
+        if label == "ref":
+            rhs_ref = np.asarray(srt._schur_rhs(asm))
+            sjb_ref = np.asarray(srt._schur_jacobi_blocks(asm)[0])
+            vq = jnp.asarray(
+                rng.normal(size=(ev.num_tangent,)), dtype=ev.dtype
+            )
+            q_ref = float(srt.jtj_quadratic(prep, vq))
+        else:
+            np.testing.assert_allclose(
+                np.asarray(srt._schur_rhs(asm)), rhs_ref, rtol=1e-6,
+                atol=1e-10,
+            )
+            np.testing.assert_allclose(
+                np.asarray(srt._schur_jacobi_blocks(asm)[0]), sjb_ref,
+                rtol=1e-6, atol=1e-10,
+            )
+            np.testing.assert_allclose(
+                float(srt.jtj_quadratic(prep, vq)), q_ref, rtol=1e-6
+            )
 
 
 def test_padded_linearize_end_to_end_trajectory():

@@ -267,6 +267,8 @@ def test_sharded_padded_gradient_diag_matches_generic(mesh, bal):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-9)
 
+    from skeres_tpu.core.linear_solvers import lm_diagonal
+
     scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(d0, 0.0)))
     data = schur.solver_data(blocks)
     sdata = schur.scale_data(data, scale)
@@ -274,9 +276,17 @@ def test_sharded_padded_gradient_diag_matches_generic(mesh, bal):
     prep_new = jax.jit(
         lambda sd, cr, sc: schur.prepare(sd, cam_raw=cr, scale=sc)
     )(sdata, cam_raw, scale)
-    for bi in schur.sorted_info:
-        np.testing.assert_allclose(
-            np.asarray(prep_new["cam"][bi]),
-            np.asarray(prep_ref["cam"][bi]),
-            rtol=1e-9,
-        )
+    gs = g0 * scale
+    d = lm_diagonal(d0 * scale * scale, 1e-3, 1e-6, 1e32)
+    asm_ref = jax.jit(lambda p: schur._assemble(p, gs, d))(prep_ref)
+    asm_new = jax.jit(lambda p: schur._assemble(p, gs, d))(prep_new)
+    np.testing.assert_allclose(
+        np.asarray(schur._schur_rhs(asm_new)),
+        np.asarray(schur._schur_rhs(asm_ref)),
+        rtol=1e-9,
+    )
+    for bn, br in zip(
+        schur._schur_jacobi_blocks(asm_new),
+        schur._schur_jacobi_blocks(asm_ref),
+    ):
+        np.testing.assert_allclose(np.asarray(bn), np.asarray(br), rtol=1e-9)

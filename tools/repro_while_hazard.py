@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Minimal(izing) repro for TPU hazard-ledger entry #2: camera-padded
+layout consumers return finite GARBAGE inside ``lax.while_loop`` at
+>= 600-camera scale (r4 finding; mitigated by disabling the layout in the
+device loop). Strategy per the r4 negative result: START from the failing
+program's shape (the real SchurSolver damped solve on a 1/3-venice-sized
+synthetic problem) and STRIP — the op-level repro was bit-exact, so the
+mis-execution needs surrounding-program context.
+
+Configs (``--config``):
+  solve     K damped solves (varying mu) — the full solve body
+  rhs       K Schur-rhs computations (the padded _w_apply consumer)
+  sjb       K SCHUR_JACOBI block builds (padded K-reduce consumer)
+  matvec    K implicit S matvecs (padded _ftf_apply/_w_apply/_wt_apply)
+
+Each config runs the SAME K-step recurrence twice:
+  while:     inside lax.while_loop, results stacked into the carry
+  unrolled:  as a plain unrolled chain in one jit
+and prints the per-step max |rel diff|. A mismatch >> f32 eps reproduces
+the hazard; agreement after a consumer rewrite identifies the fix.
+
+    python tools/repro_while_hazard.py --config rhs --num_cameras 600
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from _tunnel import ensure_tpu_alive
+
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        ensure_tpu_alive()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="solve",
+                    choices=["solve", "rhs", "sjb", "matvec"])
+    ap.add_argument("--num_cameras", type=int, default=600)
+    ap.add_argument("--num_points", type=int, default=333_334)
+    ap.add_argument("--obs", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--iterative", action="store_true")
+    ap.add_argument("--no_sorted", action="store_true",
+                    help="disable the camera-padded layout (control)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from skeres_tpu.core.evaluator import Evaluator
+    from skeres_tpu.core.linear_solvers import lm_diagonal
+    from skeres_tpu.core.schur import SchurSolver
+    from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+    print("backend:", jax.default_backend(), flush=True)
+    bal = synthetic_bal(
+        num_cameras=args.num_cameras,
+        num_points=args.num_points,
+        observations_per_point=args.obs,
+    )
+    problem, _, _ = build_bal_problem(bal)
+    program = problem.compile()
+    ev = Evaluator(program)
+    state = program.initial_state(ev.dtype)
+    schur = SchurSolver(
+        ev,
+        iterative=args.iterative,
+        sort_threshold=(10**12 if args.no_sorted else 100_000),
+    )
+    print("sorted_info on:", bool(schur.sorted_info), flush=True)
+    consts = ev.device_consts
+    K = args.iters
+
+    def build_inputs(c, state):
+        with ev.bind(c):
+            cost, blocks = ev.blocks(state)
+            g, diag = ev.gradient_and_diag(blocks)
+            scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
+            data = tuple((b.r, b.jac) for b in blocks)
+            prep = schur.prepare(schur.scale_data(data, scale))
+            return g * scale, diag * scale * scale, prep
+
+    gs, diag_s, prep = jax.jit(build_inputs)(consts, state)
+    nf = schur.num_f
+
+    # the per-step computation under test; mu varies per step and the
+    # carry feeds back (acc) so the loop body cannot be hoisted
+    def step(c, prep, gs, diag_s, k, acc):
+        with ev.bind(c):
+            mu = 1e-4 * (1.0 + 0.37 * k.astype(gs.dtype))
+            gs_k = gs * (1.0 + 1e-6 * acc[..., :1] * 0)  # keep shape dep
+            if args.config == "solve":
+                dx, _, _ = schur.solve_damped(
+                    prep, gs_k, diag_s, mu, 1e-6, 1e32
+                )
+                return dx[: nf]
+            d = lm_diagonal(diag_s, mu, 1e-6, 1e32)
+            asm = schur._assemble(prep, gs_k, d)
+            if args.config == "rhs":
+                return schur._schur_rhs(asm)
+            if args.config == "sjb":
+                blocks = schur._schur_jacobi_blocks(asm)
+                return blocks[0].reshape(-1)[: nf]
+            # matvec: one implicit S apply to a mu-dependent vector
+            v = jnp.sin(
+                jnp.arange(nf, dtype=gs.dtype) * (1.0 + mu)
+            )
+            wc = jnp.einsum(
+                "pef,pf->pe", asm["cinv"], schur._wt_apply(asm, v)
+            )
+            return schur._ftf_apply(asm, v) - schur._w_apply(asm, wc)
+
+    out_dim = {"solve": nf, "rhs": nf, "sjb": nf, "matvec": nf}[args.config]
+
+    def run_while(c, prep, gs, diag_s):
+        outs0 = jnp.zeros((K, out_dim), gs.dtype)
+
+        def body(carry):
+            k, outs = carry
+            val = step(c, prep, gs, diag_s, k, outs[0])
+            return k + 1, outs.at[k].set(val)
+
+        def cond(carry):
+            return carry[0] < K
+
+        _, outs = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), outs0)
+        )
+        return outs
+
+    def run_unrolled(c, prep, gs, diag_s):
+        outs = jnp.zeros((K, out_dim), gs.dtype)
+        for k in range(K):
+            val = step(
+                c, prep, gs, diag_s, jnp.asarray(k, jnp.int32), outs[0]
+            )
+            outs = outs.at[k].set(val)
+        return outs
+
+    print(f"config={args.config} iterative={args.iterative} "
+          f"K={K} nf={nf}", flush=True)
+    o_w = np.asarray(jax.jit(run_while)(consts, prep, gs, diag_s))
+    print("while done", flush=True)
+    o_u = np.asarray(jax.jit(run_unrolled)(consts, prep, gs, diag_s))
+    print("unrolled done", flush=True)
+    ok = True
+    for k in range(K):
+        denom = np.maximum(np.abs(o_u[k]).max(), 1e-30)
+        rel = np.abs(o_w[k] - o_u[k]).max() / denom
+        print(f"step {k}: max|while-unrolled|/max|unrolled| = {rel:.3e}  "
+              f"|unrolled|={np.abs(o_u[k]).max():.3e} "
+              f"|while|={np.abs(o_w[k]).max():.3e}")
+        ok &= rel < 1e-4
+    print("VERDICT:", "MATCH (no repro)" if ok else "MISMATCH (repro!)")
+
+
+if __name__ == "__main__":
+    main()
