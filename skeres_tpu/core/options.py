@@ -164,6 +164,11 @@ class SolverOptions:
     # CLUSTER_JACOBI preconditioner: cameras per cluster (contiguous
     # index ranges; see PreconditionerType.CLUSTER_JACOBI)
     cluster_jacobi_size: int = 64
+    # f32-robustness boost ladder rung for the cluster preconditioners'
+    # factors ({0, this, 1e-1} relative to each cluster's max diagonal,
+    # accepted per cluster by the factorization residual — see
+    # SchurSolver._cluster_jacobi_precond)
+    cluster_jacobi_boost: float = 1e-3
     # True (default): synchronize between the damped-solve and
     # candidate-evaluation dispatches so Summary's per-phase times
     # (linear_solver / residual_evaluation) are exact, like the

@@ -142,6 +142,7 @@ def solve(
             explicit_s_limit_bytes=options.explicit_schur_limit_bytes,
             pair_cap=options.schur_pair_cap,
             cluster_size=options.cluster_jacobi_size,
+            cluster_boost=options.cluster_jacobi_boost,
         )
         from skeres_tpu.core.types import PreconditionerType
 

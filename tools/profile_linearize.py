@@ -192,6 +192,25 @@ def main():
             rhs = schur._schur_rhs(asm)
             return cost, g, diag, scale, prep, rhs
 
+    def upto_pairs(c, state):
+        with ev.bind(c):
+            cost, g, diag, scale, prep = _prep_parts(c, state, True)
+            gs = g * scale
+            d = _lmd(diag * scale * scale, mu, 1e-6, 1e32)
+            asm = schur._assemble(prep, gs, d)
+            rhs = schur._schur_rhs(asm)
+            plan = schur.explicit_plan
+            cinv_flat = asm["cinv"].reshape(-1, schur.e_size * schur.e_size)
+            uniq = plan.correction_offdiag(asm["explicit_grid"], cinv_flat)
+            return cost, g, diag, scale, prep, rhs, uniq
+
+    def upto_offdiag(c, state):
+        with ev.bind(c):
+            out = upto_pairs(c, state)
+            uniq = out[-1]
+            s_off = schur.explicit_plan.dense_s_offdiag(uniq)
+            return out[:-1] + (s_off,)
+
     def upto_dense_s(c, state):
         with ev.bind(c):
             cost, g, diag, scale, prep = _prep_parts(c, state, True)
@@ -209,9 +228,10 @@ def main():
         ("P3b +prep-sans-grid", upto_prep_nogrid),
         ("P3 +scale+prep", upto_prep),
         ("P4a +assemble+rhs", upto_assemble),
+        ("P4b1 +pair contraction", upto_pairs),
+        ("P4b2 +offdiag build", upto_offdiag),
         ("P4b +dense_s", upto_dense_s),
         ("P4 +damped solve", upto_solve),
-        ("P5 +mcc+try", upto_try),
     ]
     times = []
     for name, fn in stages:
