@@ -86,6 +86,10 @@ def main():
         function_tolerance=args.function_tolerance,
         gradient_tolerance=0.0,
         parameter_tolerance=0.0,
+        # fixed-step-budget mode: with ftol zeroed this is a throughput
+        # run — disable every termination test so the denominator is the
+        # full budget (see bench.py / run_full_iteration_budget)
+        run_full_iteration_budget=(args.function_tolerance == 0.0),
         use_explicit_schur_complement=args.explicit_schur,
         minimizer_progress_to_stdout=not args.device_loop,
         # throughput run: let solve/try dispatches pipeline (each
