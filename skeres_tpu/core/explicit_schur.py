@@ -369,6 +369,25 @@ class ExplicitSchurPlan:
         # point through two rows) correctly receives BOTH reads: the true
         # contribution to S[a,a] is sum_{k<l}(T + T^T)
         self.pos2u_lower = jnp.asarray(pos2u_t.astype(np.int32))
+        # augmented maps for the one-pass FULL dense-S build
+        # (dense_s_full): diagonal (c, c) positions index an appended
+        # per-camera block region [n_uniq, n_uniq + nc); the sentinel
+        # moves to n_uniq + nc
+        sent = n_uniq + num_cameras
+        p_aug = np.where(pos2u == n_uniq, sent, pos2u)
+        dd = np.arange(num_cameras)
+        p_aug[dd * num_cameras + dd] = n_uniq + dd
+        self.pos2u_upper_aug = jnp.asarray(p_aug.astype(np.int32))
+        low_aug = np.where(pos2u_t == n_uniq, sent, pos2u_t)
+        # the appended diagonal region subsumes the lower diagonal read
+        low_aug[dd * num_cameras + dd] = sent
+        self.pos2u_lower_aug = jnp.asarray(low_aug.astype(np.int32))
+        # SAME-CAMERA pairs (a point observed twice by one camera) store
+        # a real uniq row at the diagonal position; dense_s_full folds it
+        # into the appended region so the diagonal overwrite loses nothing
+        self.diag_pair_idx = jnp.asarray(
+            pos2u[dd * num_cameras + dd].astype(np.int32)
+        )
         # static column permutation transposing a flat (f, f) block —
         # TPU tiling pads any trailing (f, f)=(9,9) dims to (16, 128)
         # (14x memory blow-up at nc^2 rows), so EVERY pair-block array
@@ -830,6 +849,27 @@ class ExplicitSchurPlan:
         out = out.reshape(nch * cch * f, cs * f)[: rows * f]
         return out.reshape(ncl - 1, cs * f, cs * f)
 
+    def dense_s_full(self, uniq_flat, diag_flat, chunk_cams: int = 127):
+        """One-pass gather-build of the FULL (nc*f, nc*f) correction-plus-
+        diagonal matrix: the per-camera diagonal blocks ride as an
+        appended table region indexed by the augmented maps, so the
+        caller needs neither a TPU scatter-add for the diagonal nor a
+        full-matrix symmetrize pass (the off-diagonal is exactly
+        symmetric by construction — entry (a, b) and (b, a) read the SAME
+        table row, one statically permuted)."""
+        nc, f = self.nc, self.f
+        zero = jnp.zeros((1, f * f), uniq_flat.dtype)
+        up = jnp.concatenate([uniq_flat, zero])
+        # fold same-camera pair corrections (both read directions) into
+        # the appended diagonal region
+        cc = up[self.diag_pair_idx]
+        diag_region = cc + cc[:, self.perm_t] + diag_flat
+        padded = jnp.concatenate([uniq_flat, diag_region, zero])
+        blocks81 = padded[self.pos2u_upper_aug] + padded[
+            self.pos2u_lower_aug
+        ][:, self.perm_t]  # (nc*nc, f*f)
+        return self._rearrange_dense(blocks81, chunk_cams)
+
     def dense_s_offdiag(self, uniq_flat, chunk_cams: int = 127):
         """Gather-build the (nc*f, nc*f) off-diagonal correction from the
         unique pair blocks (``uniq_flat``: (n_uniq, f*f) flat rows; upper
@@ -843,7 +883,13 @@ class ExplicitSchurPlan:
         blocks81 = padded[self.pos2u_upper] + padded[self.pos2u_lower][
             :, self.perm_t
         ]  # (nc*nc, f*f), 2D throughout
+        return self._rearrange_dense(blocks81, chunk_cams)
 
+    def _rearrange_dense(self, blocks81, chunk_cams):
+        """(nc*nc, f*f) block rows -> the dense (nc*f, nc*f) matrix, in
+        camera chunks (the full (nc, nc, f, f) intermediate would
+        tile-pad 14x — 25 GB at venice)."""
+        nc, f = self.nc, self.f
         cch = min(chunk_cams, nc)
         nch = -(-nc // cch)
         pad = nch * cch - nc

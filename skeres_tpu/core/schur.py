@@ -1123,22 +1123,35 @@ class SchurSolver:
             grid = plan.build_grid(self._explicit_a_flat(asm["per_batch"]))
         cinv_flat = asm["cinv"].reshape(-1, e * e)
         uniq = plan.correction_offdiag(grid, cinv_flat)
-        s_mat = -plan.dense_s_offdiag(uniq)
-        # diagonal blocks of the observation batch, incl. damping
+        # diagonal blocks of the observation batch, incl. damping; their
+        # internal one-ulp asymmetry is symmetrized HERE (nc*f*f — free)
+        # so the dense matrix needs no full 16k x 16k transpose pass, and
+        # they ride the gather-build as an appended table region so no
+        # TPU scatter-add touches the 1 GB matrix
         diag_blocks = self._schur_jacobi_blocks(asm, only_batch=bi)[0]
+        diag_blocks = 0.5 * (
+            diag_blocks + jnp.swapaxes(diag_blocks, 1, 2)
+        )
         nc, f = plan.nc, plan.f
-        rows = jnp.arange(nc * f).reshape(nc, f)
-        s_mat = s_mat.at[rows[:, :, None], rows[:, None, :]].add(diag_blocks)
+        s_mat = -plan.dense_s_full(
+            uniq, -diag_blocks.reshape(nc, f * f)
+        )
         # remaining batches (e.g. priors): full coupling via index maps
+        extra = False
         for bj, (rb, jacb, Eb) in enumerate(asm["per_batch"]):
             if bj == bi or self.batch_info[bj]["tf"] == 0:
                 continue
+            extra = True
             infob = self.batch_info[bj]
             Fb = jacb[:, :, infob["f_cols"]]
             ftfb = vpu_einsum("bmf,bmg->bfg", Fb, Fb)
             fidxb = infob["fidx"]
             s_mat = s_mat.at[fidxb[:, :, None], fidxb[:, None, :]].add(ftfb)
-        return 0.5 * (s_mat + s_mat.T)
+        if extra:
+            # the extra batches' scatter contributions are not
+            # symmetrized by construction
+            s_mat = 0.5 * (s_mat + s_mat.T)
+        return s_mat
 
     def _dense_s(self, asm):
         """Materialize S (N_f, N_f).
