@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--num_points", type=int, default=333_334)
     ap.add_argument("--obs", type=int, default=5)
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--chunk", type=int, default=262_144)
     ap.add_argument("--iterative", action="store_true")
     ap.add_argument("--no_sorted", action="store_true",
                     help="disable the camera-padded layout (control)")
@@ -73,7 +74,7 @@ def main():
     )
     problem, _, _ = build_bal_problem(bal)
     program = problem.compile()
-    ev = Evaluator(program)
+    ev = Evaluator(program, chunk_size=args.chunk)
     state = program.initial_state(ev.dtype)
     schur = SchurSolver(
         ev,
