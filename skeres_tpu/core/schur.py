@@ -587,8 +587,16 @@ class SchurSolver:
             info = self.batch_info[bi]
             s, gi, c, t = info["ret_slots"][0]
             b = blocks[bi]
-            cam_raw[bi] = self._sorted_cam_jac(bi, b.jac)
-            r_pad = self._place_rows(bi, b.r)
+            bsz, m, T = b.jac.shape
+            # ONE placement gather for (jac | r): the gather is per-row
+            # latency-bound, so placing the narrow residual separately
+            # would cost nearly as much as the wide Jacobian placement
+            placed = self._place_rows(
+                bi,
+                jnp.concatenate([b.jac.reshape(bsz, m * T), b.r], axis=1),
+            )
+            cam_raw[bi] = placed[..., : m * T]
+            r_pad = placed[..., m * T :]
             padded_slot[bi] = s
 
             def row_fn(jac_cam, pidx_pad, rp, c=c, t=t):

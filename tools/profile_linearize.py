@@ -94,6 +94,23 @@ def main():
         g, diag = ev.gradient_and_diag(blocks)
         return g, diag, None
 
+    def upto_place(c, state):
+        # blocks + the (jac|r) placement gather alone — isolates the
+        # placement cost within the g/diag phase
+        with ev.bind(c):
+            cost, blocks = ev.blocks(state)
+            placed = {}
+            for bi in schur.sorted_info:
+                b = blocks[bi]
+                bsz, m, T = b.jac.shape
+                placed[bi] = schur._place_rows(
+                    bi,
+                    jnp.concatenate(
+                        [b.jac.reshape(bsz, m * T), b.r], axis=1
+                    ),
+                )
+            return cost, placed
+
     def upto_gdiag(c, state):
         with ev.bind(c):
             cost, blocks = ev.blocks(state)
@@ -223,6 +240,7 @@ def main():
 
     stages = [
         ("P1 blocks (eval)", upto_blocks),
+        ("P1b +placement only", upto_place),
         ("P2 +g/diag", upto_gdiag),
         ("P3a +scale_data", upto_scaledata),
         ("P3b +prep-sans-grid", upto_prep_nogrid),
