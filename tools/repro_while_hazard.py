@@ -36,7 +36,8 @@ def main():
         ensure_tpu_alive()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="solve",
-                    choices=["solve", "rhs", "sjb", "matvec"])
+                    choices=["solve", "rhs", "sjb", "matvec", "carry",
+                             "carrycond", "carryfull"])
     ap.add_argument("--num_cameras", type=int, default=600)
     ap.add_argument("--num_points", type=int, default=333_334)
     ap.add_argument("--obs", type=int, default=5)
@@ -45,6 +46,7 @@ def main():
     ap.add_argument("--iterative", action="store_true")
     ap.add_argument("--no_sorted", action="store_true",
                     help="disable the camera-padded layout (control)")
+    ap.add_argument("--sort_threshold", type=int, default=100_000)
     args = ap.parse_args()
 
     import jax
@@ -79,7 +81,7 @@ def main():
     schur = SchurSolver(
         ev,
         iterative=args.iterative,
-        sort_threshold=(10**12 if args.no_sorted else 100_000),
+        sort_threshold=(10**12 if args.no_sorted else args.sort_threshold),
     )
     print("sorted_info on:", bool(schur.sorted_info), flush=True)
     consts = ev.device_consts
@@ -124,7 +126,7 @@ def main():
             )
             return schur._ftf_apply(asm, v) - schur._w_apply(asm, wc)
 
-    out_dim = {"solve": nf, "rhs": nf, "sjb": nf, "matvec": nf}[args.config]
+    out_dim = nf
 
     def run_while(c, prep, gs, diag_s):
         outs0 = jnp.zeros((K, out_dim), gs.dtype)
@@ -151,12 +153,147 @@ def main():
             outs = outs.at[k].set(val)
         return outs
 
+    # -- carry configs: the padded copy flows through the while_loop
+    # CARRY (the device loop's structure — rebuilt under lax.cond on
+    # accepted steps), instead of a loop-invariant operand --------------
+    bi0 = next(iter(schur.sorted_info), None)
+
+    def sjb_with_cam(c, prep, gs, diag_s, k, cam):
+        with ev.bind(c):
+            mu = 1e-4 * (1.0 + 0.37 * k.astype(gs.dtype))
+            d = lm_diagonal(diag_s, mu, 1e-6, 1e32)
+            prep2 = dict(prep, cam={bi0: cam})
+            asm = schur._assemble(prep2, gs, d)
+            return schur._schur_jacobi_blocks(asm)[0].reshape(-1)[: nf]
+
+    def rebuild_cam(c, blocks_jac_r):
+        with ev.bind(c):
+            jac_flat, r = blocks_jac_r
+            return schur._place_rows(
+                bi0, jnp.concatenate([jac_flat, r], axis=1)
+            )[..., : jac_flat.shape[-1]]
+
+    def run_carry(c, prep, gs, diag_s, jac_r, use_while, with_cond):
+        cam0 = prep["cam"][bi0]
+
+        def one(k, cam, outs):
+            val = sjb_with_cam(c, prep, gs, diag_s, k, cam)
+            if with_cond:
+                cam = jax.lax.cond(
+                    (k % 2) == 0,
+                    lambda _: rebuild_cam(c, jac_r),
+                    lambda _: cam,
+                    operand=None,
+                )
+            return cam, outs.at[k].set(val)
+
+        outs0 = jnp.zeros((K, nf), gs.dtype)
+        if use_while:
+            def body(carry):
+                k, cam, outs = carry
+                cam, outs = one(k, cam, outs)
+                return k + 1, cam, outs
+
+            _, _, outs = jax.lax.while_loop(
+                lambda cr: cr[0] < K, body,
+                (jnp.zeros((), jnp.int32), cam0, outs0),
+            )
+            return outs
+        cam = cam0
+        for k in range(K):
+            cam, outs0 = one(jnp.asarray(k, jnp.int32), cam, outs0)
+        return outs0
+
+    def run_carryfull(c, gs, diag_s, prep, use_while):
+        """The device loop's actual structure: the ENTIRE prep dict rides
+        the while_loop carry; accepted-step relinearize is mimicked by a
+        lax.cond that rebuilds the padded copy inside the loop."""
+
+        def one(k, prep_c, outs):
+            with ev.bind(c):
+                mu = 1e-4 * (1.0 + 0.37 * k.astype(gs.dtype))
+                d = lm_diagonal(diag_s, mu, 1e-6, 1e32)
+                if args.config == "carryfull" and not args.iterative:
+                    dx, _, _ = schur.solve_damped(
+                        prep_c, gs, diag_s, mu, 1e-6, 1e32
+                    )
+                    val = dx[:nf]
+                else:
+                    asm = schur._assemble(prep_c, gs, d)
+                    val = schur._schur_jacobi_blocks(asm)[0].reshape(-1)[
+                        :nf
+                    ]
+
+                def rebuild(_):
+                    r, jac, E = prep_c["per_batch"][bi0]
+                    bsz, m, T = jac.shape
+                    cam2 = schur._place_rows(
+                        bi0,
+                        jnp.concatenate(
+                            [jac.reshape(bsz, m * T), r], axis=1
+                        ),
+                    )[..., : m * T]
+                    return dict(prep_c, cam={bi0: cam2})
+
+                prep2 = jax.lax.cond(
+                    (k % 2) == 0, rebuild, lambda _: prep_c, operand=None
+                )
+                return prep2, outs.at[k].set(val)
+
+        outs0 = jnp.zeros((K, nf), gs.dtype)
+        if use_while:
+            def body(carry):
+                k, prep_c, outs = carry
+                prep_c, outs = one(k, prep_c, outs)
+                return k + 1, prep_c, outs
+
+            _, _, outs = jax.lax.while_loop(
+                lambda cr: cr[0] < K, body,
+                (jnp.zeros((), jnp.int32), prep, outs0),
+            )
+            return outs
+        prep_c = prep
+        for k in range(K):
+            prep_c, outs0 = one(jnp.asarray(k, jnp.int32), prep_c, outs0)
+        return outs0
+
     print(f"config={args.config} iterative={args.iterative} "
           f"K={K} nf={nf}", flush=True)
-    o_w = np.asarray(jax.jit(run_while)(consts, prep, gs, diag_s))
-    print("while done", flush=True)
-    o_u = np.asarray(jax.jit(run_unrolled)(consts, prep, gs, diag_s))
-    print("unrolled done", flush=True)
+    if args.config == "carryfull":
+        o_w = np.asarray(jax.jit(
+            lambda c, g_, d_, p: run_carryfull(c, g_, d_, p, True)
+        )(consts, gs, diag_s, prep))
+        print("while done", flush=True)
+        o_u = np.asarray(jax.jit(
+            lambda c, g_, d_, p: run_carryfull(c, g_, d_, p, False)
+        )(consts, gs, diag_s, prep))
+        print("unrolled done", flush=True)
+    elif args.config in ("carry", "carrycond"):
+        b0 = None
+        def get_jac_r(c, state):
+            with ev.bind(c):
+                cost, blocks = ev.blocks(state)
+                g, diag = ev.gradient_and_diag(blocks)
+                scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
+                data = tuple((b.r, b.jac) for b in blocks)
+                r, jac = schur.scale_data(data, scale)[bi0]
+                bsz, m, T = jac.shape
+                return jac.reshape(bsz, m * T), r
+        jac_r = jax.jit(get_jac_r)(consts, state)
+        wc = args.config == "carrycond"
+        o_w = np.asarray(jax.jit(
+            lambda c, p, g_, d_, jr: run_carry(c, p, g_, d_, jr, True, wc)
+        )(consts, prep, gs, diag_s, jac_r))
+        print("while done", flush=True)
+        o_u = np.asarray(jax.jit(
+            lambda c, p, g_, d_, jr: run_carry(c, p, g_, d_, jr, False, wc)
+        )(consts, prep, gs, diag_s, jac_r))
+        print("unrolled done", flush=True)
+    else:
+        o_w = np.asarray(jax.jit(run_while)(consts, prep, gs, diag_s))
+        print("while done", flush=True)
+        o_u = np.asarray(jax.jit(run_unrolled)(consts, prep, gs, diag_s))
+        print("unrolled done", flush=True)
     ok = True
     for k in range(K):
         denom = np.maximum(np.abs(o_u[k]).max(), 1e-30)
