@@ -145,6 +145,12 @@ class SolverOptions:
     mesh: Any = None
     # chunk size for streamed (scan-accumulated) evaluation; None = no chunking
     evaluation_chunk_size: Optional[int] = None
+    # "auto" | "forward" | "reverse": how per-block Jacobians are built —
+    # T tangent-basis jvps (the reference's Jet layout) or m
+    # cotangent-basis vjps; auto picks reverse when 2*m < T (the BA case
+    # does 6x fewer passes). Residuals defining only a custom_jvp need
+    # "forward".
+    jacobian_diff_mode: str = "auto"
     # observation-batch row count above which the Schur solver keeps a
     # camera-sorted/padded Jacobian copy (gather-free PCG matvecs); see
     # SchurSolver(sort_threshold=...)

@@ -113,6 +113,7 @@ def solve(
         dtype=options.dtype,
         chunk_size=options.evaluation_chunk_size,
         mesh=options.mesh,
+        diff_mode=options.jacobian_diff_mode,
     )
     summary.dtype = str(np.dtype(evaluator.dtype))
 

@@ -225,3 +225,35 @@ def test_numeric_diff_bad_method_raises():
 
     with pytest.raises(ValueError, match="numeric_diff_method"):
         solve(SolverOptions(max_num_iterations=2), p)
+
+
+def test_jacobian_diff_modes_agree():
+    """forward (T jvps, the reference's Jet layout) and reverse (m vjps)
+    Jacobian construction must produce the same solve trajectory; auto
+    picks reverse for wide blocks (BA: m=2 vs T=12)."""
+    from skeres_tpu.core.types import LinearSolverType
+    from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+    bal = synthetic_bal(num_cameras=5, num_points=40,
+                        observations_per_point=3)
+
+    def run(mode):
+        problem, cams, _ = build_bal_problem(bal)
+        s = solve(
+            SolverOptions(
+                linear_solver_type=LinearSolverType.DENSE_SCHUR,
+                max_num_iterations=8,
+                jacobian_diff_mode=mode,
+            ),
+            problem,
+        )
+        return s, cams.values.copy()
+
+    s_f, c_f = run("forward")
+    s_r, c_r = run("reverse")
+    s_a, c_a = run("auto")
+    import numpy as np
+
+    np.testing.assert_allclose(s_r.final_cost, s_f.final_cost, rtol=1e-6)
+    np.testing.assert_allclose(c_r, c_f, rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(c_a, c_r, rtol=1e-6, atol=1e-10)
