@@ -37,7 +37,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="solve",
                     choices=["solve", "rhs", "sjb", "matvec", "carry",
-                             "carrycond", "carryfull"])
+                             "carrycond", "carryfull",
+                             "carryfull_barrier"])
     ap.add_argument("--num_cameras", type=int, default=600)
     ap.add_argument("--num_points", type=int, default=333_334)
     ap.add_argument("--obs", type=int, default=5)
@@ -238,6 +239,16 @@ def main():
                 prep2 = jax.lax.cond(
                     (k % 2) == 0, rebuild, lambda _: prep_c, operand=None
                 )
+                if args.config == "carryfull_barrier":
+                    # HYPOTHESIS probe: if the mis-execution is a
+                    # write-after-read race (the rebuild's placement
+                    # gather writing a buffer an earlier consumer still
+                    # reads), forcing the rebuilt copy to depend on this
+                    # step's output must fix it
+                    cam_b, _ = jax.lax.optimization_barrier(
+                        (prep2["cam"][bi0], val)
+                    )
+                    prep2 = dict(prep2, cam={bi0: cam_b})
                 return prep2, outs.at[k].set(val)
 
         outs0 = jnp.zeros((K, nf), gs.dtype)
@@ -259,7 +270,7 @@ def main():
 
     print(f"config={args.config} iterative={args.iterative} "
           f"K={K} nf={nf}", flush=True)
-    if args.config == "carryfull":
+    if args.config in ("carryfull", "carryfull_barrier"):
         o_w = np.asarray(jax.jit(
             lambda c, g_, d_, p: run_carryfull(c, g_, d_, p, True)
         )(consts, gs, diag_s, prep))
