@@ -201,22 +201,6 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
             state2, cost2, g2, diag2, data2, scale2 = jax.lax.cond(
                 accepted, relinearize, keep, operand=None
             )
-            # ORDERING BARRIER (hazard ledger #2, root-caused r5): the
-            # relinearized solver data must not be computed/written before
-            # this iteration's consumers of the OLD data finish. Without
-            # it, XLA's scheduler overlaps the rebuild's placement gather
-            # with the damped solve still reading the previous copy — a
-            # write-after-read race that returned finite GARBAGE steps at
-            # >= 600-camera scale (the r4 mitigation disabled the padded
-            # layout entirely; the repro ladder in
-            # tools/repro_while_hazard.py isolated the race: bare padded
-            # consumers, carry, and carry+cond configs are all bit-exact,
-            # while the full carry + in-loop rebuild flips to garbage —
-            # and an optimization_barrier tying the rebuilt data to the
-            # step's outputs restores correctness).
-            (data2, scale2), _ = jax.lax.optimization_barrier(
-                ((data2, scale2), (new_cost, step_norm))
-            )
 
             # -- convergence tests ----------------------------------------
             if ev.program.has_bounds:

@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--config", default="solve",
                     choices=["solve", "rhs", "sjb", "matvec", "carry",
                              "carrycond", "carryfull",
-                             "carryfull_barrier"])
+                             "carryfull_barrier", "carryfull_inbarrier"])
     ap.add_argument("--num_cameras", type=int, default=600)
     ap.add_argument("--num_points", type=int, default=333_334)
     ap.add_argument("--obs", type=int, default=5)
@@ -214,7 +214,10 @@ def main():
             with ev.bind(c):
                 mu = 1e-4 * (1.0 + 0.37 * k.astype(gs.dtype))
                 d = lm_diagonal(diag_s, mu, 1e-6, 1e32)
-                if args.config == "carryfull" and not args.iterative:
+                if (
+                    args.config.startswith("carryfull")
+                    and not args.iterative
+                ):
                     dx, _, _ = schur.solve_damped(
                         prep_c, gs, diag_s, mu, 1e-6, 1e32
                     )
@@ -227,6 +230,13 @@ def main():
 
                 def rebuild(_):
                     r, jac, E = prep_c["per_batch"][bi0]
+                    if args.config == "carryfull_inbarrier":
+                        # input-side ordering probe: the placement gather
+                        # cannot START until this step's consumers of the
+                        # old copy produced their value
+                        (jac, r), _bar = jax.lax.optimization_barrier(
+                            ((jac, r), val)
+                        )
                     bsz, m, T = jac.shape
                     cam2 = schur._place_rows(
                         bi0,
@@ -270,7 +280,7 @@ def main():
 
     print(f"config={args.config} iterative={args.iterative} "
           f"K={K} nf={nf}", flush=True)
-    if args.config in ("carryfull", "carryfull_barrier"):
+    if args.config.startswith("carryfull"):
         o_w = np.asarray(jax.jit(
             lambda c, g_, d_, p: run_carryfull(c, g_, d_, p, True)
         )(consts, gs, diag_s, prep))
