@@ -38,7 +38,8 @@ def main():
     ap.add_argument("--config", default="solve",
                     choices=["solve", "rhs", "sjb", "matvec", "carry",
                              "carrycond", "carryfull",
-                             "carryfull_barrier", "carryfull_inbarrier"])
+                             "carryfull_barrier", "carryfull_inbarrier",
+                             "carryfull_nocond", "carryfull_norebuild"])
     ap.add_argument("--num_cameras", type=int, default=600)
     ap.add_argument("--num_points", type=int, default=333_334)
     ap.add_argument("--obs", type=int, default=5)
@@ -246,9 +247,15 @@ def main():
                     )[..., : m * T]
                     return dict(prep_c, cam={bi0: cam2})
 
-                prep2 = jax.lax.cond(
-                    (k % 2) == 0, rebuild, lambda _: prep_c, operand=None
-                )
+                if args.config == "carryfull_norebuild":
+                    prep2 = prep_c
+                elif args.config == "carryfull_nocond":
+                    prep2 = rebuild(None)
+                else:
+                    prep2 = jax.lax.cond(
+                        (k % 2) == 0, rebuild, lambda _: prep_c,
+                        operand=None,
+                    )
                 if args.config == "carryfull_barrier":
                     # HYPOTHESIS probe: if the mis-execution is a
                     # write-after-read race (the rebuild's placement
