@@ -44,6 +44,7 @@ All index arrays are static (problem structure), built once on the host.
 
 from __future__ import annotations
 
+import os
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -304,7 +305,13 @@ class ExplicitSchurPlan:
         # broadcast-einsum form keeps the tiny (f, e) minors on the vector
         # lanes — ~100x off the VPU roofline, measured); non-TPU backends
         # keep the einsum path (interpret mode is for unit tests only)
-        self.use_pair_kernel = jax.default_backend() == "tpu"
+        # SKERES_NO_PAIR_KERNEL=1: fall back to the XLA einsum pair
+        # values (diagnostic escape hatch — e.g. isolating the Pallas
+        # custom call in miscompile hunts)
+        self.use_pair_kernel = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("SKERES_NO_PAIR_KERNEL") != "1"
+        )
         # chunk size over point rows: bound the per-chunk pair-value bytes
         self.chunk_points = max(
             256, chunk_value_budget // max(1, npairs * f_size * f_size * 4)

@@ -1204,8 +1204,14 @@ class SchurSolver:
             cholesky_inverse_factor,
         )
 
+        import os
+
+        # SKERES_NO_PALLAS_CHOLESKY=1: XLA cholesky fallback (diagnostic
+        # escape hatch for miscompile hunts, like SKERES_NO_PAIR_KERNEL)
         on_tpu_f32 = (
-            jax.default_backend() == "tpu" and s.dtype == jnp.float32
+            jax.default_backend() == "tpu"
+            and s.dtype == jnp.float32
+            and os.environ.get("SKERES_NO_PALLAS_CHOLESKY") != "1"
         )
         if on_tpu_f32 and s.shape[0] <= MAX_PALLAS_CHOLESKY_N:
             linv = cholesky_inverse_factor(s)

@@ -49,6 +49,12 @@ def main():
     ap.add_argument("--no_sorted", action="store_true",
                     help="disable the camera-padded layout (control)")
     ap.add_argument("--sort_threshold", type=int, default=100_000)
+    ap.add_argument("--order", default="while_first",
+                    choices=["while_first", "unrolled_first",
+                             "unrolled_only", "while_only"],
+                    help="execution order probe: if a twin corrupts the "
+                         "shared prep buffers, whichever runs SECOND "
+                         "reads garbage")
     args = ap.parse_args()
 
     import jax
@@ -288,14 +294,33 @@ def main():
     print(f"config={args.config} iterative={args.iterative} "
           f"K={K} nf={nf}", flush=True)
     if args.config.startswith("carryfull"):
-        o_w = np.asarray(jax.jit(
+        run_w = jax.jit(
             lambda c, g_, d_, p: run_carryfull(c, g_, d_, p, True)
-        )(consts, gs, diag_s, prep))
-        print("while done", flush=True)
-        o_u = np.asarray(jax.jit(
+        )
+        run_u = jax.jit(
             lambda c, g_, d_, p: run_carryfull(c, g_, d_, p, False)
-        )(consts, gs, diag_s, prep))
-        print("unrolled done", flush=True)
+        )
+
+        def go_w():
+            r = np.asarray(run_w(consts, gs, diag_s, prep))
+            print("while done", flush=True)
+            return r
+
+        def go_u():
+            r = np.asarray(run_u(consts, gs, diag_s, prep))
+            print("unrolled done", flush=True)
+            return r
+
+        if args.order == "while_first":
+            o_w, o_u = go_w(), go_u()
+        elif args.order == "unrolled_first":
+            o_u, o_w = go_u(), go_w()
+        elif args.order == "unrolled_only":
+            o_u = go_u()
+            o_w = go_u()  # second unrolled run in place of the while twin
+        else:  # while_only
+            o_w = go_w()
+            o_u = go_w()
     elif args.config in ("carry", "carrycond"):
         b0 = None
         def get_jac_r(c, state):
