@@ -64,15 +64,19 @@ class DeviceLoopMinimizer(TrustRegionMinimizer):
             # grid (~1 GB at venice) OOMs the carry — rebuild per solve
             self.schur_solver.hoist_explicit_grid = False
             if self.schur_solver.sorted_info:
-                # KNOWN TPU ISSUE (measured, r4): the camera-padded-layout
-                # consumers return finite GARBAGE steps when executed
-                # inside this lax.while_loop at >=600-camera scale — any
-                # radius, DENSE and ITERATIVE alike — while the identical
-                # computation is correct outside the loop and on CPU, and
-                # regardless of whether the padded copies are carried 3D
-                # or flat. Until the underlying XLA/while-loop interaction
-                # is understood, the device loop falls back to the generic
-                # gather-plan reductions (correct, somewhat slower).
+                # KNOWN TPU ISSUE (r4, attributed r5): programs containing
+                # concurrently-schedulable independent copies of the heavy
+                # damped-solve subgraph mis-execute at >= 600-camera scale
+                # — a pure-XLA miscompile (repro ladder in
+                # tools/repro_while_hazard.py: deterministic garbage with
+                # ALL Pallas kernels disabled; bit-exact once the solves
+                # are serialized by a data dependence or a while_loop;
+                # op-level repros bit-exact). The device loop's body with
+                # the padded layout exposes that structure; until the
+                # upstream bug is fixed, it falls back to the generic
+                # gather-plan reductions (correct; costs nothing at the
+                # small scales the device loop is recommended for —
+                # BENCH_EXTRA "Hazard #2 endgame").
                 self.schur_solver.sorted_info = {}
         self._build_device_loop()
 
