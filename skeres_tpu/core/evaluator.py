@@ -188,7 +188,11 @@ class Evaluator:
             idx_pad = self._batch_idx_np[bi]
             if mesh is None:
                 plans = tuple(
-                    build_reduce_plan(ix, program.groups[gi].num_blocks)
+                    build_reduce_plan(
+                        ix,
+                        program.groups[gi].num_blocks,
+                        n_valid=b.num_blocks,
+                    )
                     for gi, ix in zip(b.slot_groups, idx_pad)
                 )
             else:
@@ -197,6 +201,7 @@ class Evaluator:
                         ix,
                         program.groups[gi].num_blocks,
                         self._n_shards,
+                        n_valid=b.num_blocks,
                     )
                     for gi, ix in zip(b.slot_groups, idx_pad)
                 )

@@ -608,17 +608,57 @@ class SchurSolver:
             accs[gi] = accs[gi] + self._cam_reduce(
                 bi, cam_raw[bi], (), row_fn, (2 * t,), row_ops=(r_pad,)
             )
+        ete0_raw = None
         for bi, b in enumerate(blocks):
             batch = program.batches[bi]
+            e_col = self.batch_info[bi]["e_col"]
             for s, gi in enumerate(batch.slot_groups):
                 if padded_slot.get(bi) == s:
                     continue
                 c, t = ev._slot_cols[bi][s]
                 cols = b.jac[:, :, c : c + t]
                 gb = vpu_einsum("bmi,bm->bi", cols, b.r)
+                if e_col == (c, t):
+                    # E slot: ride the UNDAMPED raw E^T E on the same
+                    # reduction pass (flat 2D (B, e*e) per-m form — the
+                    # (B, e, e) einsum materializes tile-padded; see
+                    # _explicit_a_flat). prepare() then conjugates with the
+                    # Jacobi scale instead of re-reading the 5M-row
+                    # Jacobian: ete0_scaled = s_e (x) s_e * ete0_raw. The
+                    # slot diag is exactly ete_flat's diagonal.
+                    e = t
+                    # per-column slice + lane concat (NOT repeat/tile,
+                    # which lowers via a 3D broadcast XLA may materialize
+                    # tile-padded — see _explicit_a_flat)
+                    pieces = []
+                    for i in range(e):
+                        piece = None
+                        for m in range(cols.shape[1]):
+                            term = cols[:, m, i : i + 1] * cols[:, m, :]
+                            piece = term if piece is None else piece + term
+                        pieces.append(piece)
+                    ete_flat = jnp.concatenate(pieces, axis=1)
+                    red = ev.slot_reduce(
+                        bi, s, jnp.concatenate([gb, ete_flat], axis=1)
+                    )
+                    gb_r, ete_r = red[:, :e], red[:, e:]
+                    diag_cols = tuple(i * e + i for i in range(e))
+                    db_r = ete_r[:, diag_cols]
+                    accs[gi] = accs[gi] + jnp.concatenate(
+                        [gb_r, db_r], axis=1
+                    )
+                    ete0_raw = (
+                        ete_r if ete0_raw is None else ete0_raw + ete_r
+                    )
+                    continue
                 db = jnp.sum(cols * cols, axis=1)
                 vals = jnp.concatenate([gb, db], axis=1)
                 accs[gi] = accs[gi] + ev.slot_reduce(bi, s, vals)
+        if ete0_raw is not None:
+            # key -1 (an int, so the pytree dict stays sortable; batch
+            # indices are >= 0): the raw undamped E^T E rode the reduction
+            # pass — prepare() recovers the scaled ete0 by conjugation
+            cam_raw[-1] = ete0_raw
         g = ev.assemble_tangent([a[:, : a.shape[1] // 2] for a in accs])
         diag = ev.assemble_tangent([a[:, a.shape[1] // 2 :] for a in accs])
         return g, diag, cam_raw
@@ -636,14 +676,28 @@ class SchurSolver:
         ``cam_raw``/``scale``: when :meth:`gradient_and_diag_padded`
         already placed the UNSCALED padded copies, pass them with the
         Jacobi scale — scaling in padded space (broadcast + e-floats/row
-        gather) replaces the second full placement gather."""
+        gather) replaces the second full placement gather. When it also
+        rode the raw undamped ``E^T E`` on its reduction pass
+        (``cam_raw[-1]``), the scaled ``ete0`` is recovered by
+        conjugation with the per-point scale rows — no second pass over
+        the observation-sized Jacobian at all."""
         e = self.e_size
         dtype = data[0][1].dtype
-        ete0 = jnp.zeros((self.num_points, e, e), dtype=dtype)
+        ete0_raw = cam_raw.get(-1) if cam_raw is not None else None
+        if ete0_raw is not None and scale is not None:
+            s_e = self._gather_ge(scale)
+            ete0 = (
+                ete0_raw.reshape(self.num_points, e, e)
+                * s_e[:, :, None]
+                * s_e[:, None, :]
+            )
+        else:
+            ete0_raw = None
+            ete0 = jnp.zeros((self.num_points, e, e), dtype=dtype)
         per_batch = []
         for bi, (r, jac) in enumerate(data):
             E = self._split_E(bi, jac)
-            if E is not None:
+            if E is not None and ete0_raw is None:
                 outer = vpu_einsum("bme,bmf->bef", E, E).reshape(-1, e * e)
                 s_e = self.ev.program.batches[bi].slot_groups.index(
                     self.elim_group
@@ -687,21 +741,26 @@ class SchurSolver:
         a_flat[b, f*e + g] = sum_m F[b,m,f] E[b,m,g]. The einsum form
         produces a (B, f, e) value whose materialization tile-pads ~26x
         (41 GB at venice) whenever XLA declines to fuse the trailing
-        reshape — observed to depend on the surrounding program. Per-m
-        repeat/tile keeps every value 2D with a wide last dim."""
+        reshape — observed to depend on the surrounding program. Even
+        ``jnp.repeat``/``tile`` lower to a 3D broadcast + reshape, and
+        XLA was observed to materialize that broadcast tile-padded (40 GB
+        f32[5M,9,3] compile-time OOM) once the surrounding program
+        changed; per-column slicing + one lane concat never creates a 3D
+        value at all."""
         bi = self.e_batch
         info = self.batch_info[bi]
         _, jac, _ = per_batch[bi]
         s, gi, c, t = info["ret_slots"][0]
         ec, et = info["e_col"]
         m_res = jac.shape[1]
-        a_flat = None
-        for m in range(m_res):
-            f_m = jac[:, m, c : c + t]  # (B, t)
-            e_m = jac[:, m, ec : ec + et]  # (B, e)
-            term = jnp.repeat(f_m, et, axis=1) * jnp.tile(e_m, (1, t))
-            a_flat = term if a_flat is None else a_flat + term
-        return a_flat
+        pieces = []
+        for i in range(t):
+            piece = None
+            for m in range(m_res):
+                term = jac[:, m, c + i : c + i + 1] * jac[:, m, ec : ec + et]
+                piece = term if piece is None else piece + term
+            pieces.append(piece)  # (B, e)
+        return jnp.concatenate(pieces, axis=1)
 
     def _assemble(self, data, g, d):
         """Per-mu elimination state: damped C^-1 and the rhs pieces.

@@ -54,11 +54,12 @@ GATHER_WASTE = 4.0
 
 
 class ReducePlan(NamedTuple):
-    kind: str  # 'onehot' | 'gather' | 'scatter'
+    kind: str  # 'contig' | 'onehot' | 'gather' | 'scatter'
     n_dest: int
     idx: Optional[jnp.ndarray]  # (B,) destination ids ('onehot'/'scatter')
     slots: Optional[jnp.ndarray]  # (n_dest, K) row ids ('gather')
     mask: Optional[jnp.ndarray]  # (n_dest, K) 1/0 ('gather')
+    k: int = 0  # uniform rows-per-destination ('contig')
 
 
 def build_reduce_plan(
@@ -67,13 +68,32 @@ def build_reduce_plan(
     force_scatter: bool = False,
     onehot_limit: int = ONEHOT_LIMIT,
     gather_waste: float = GATHER_WASTE,
+    n_valid: Optional[int] = None,
 ) -> ReducePlan:
+    """``n_valid``: number of REAL rows; rows >= n_valid are evaluator
+    padding whose values are guaranteed zero (``jac * weight`` /
+    ``r * weight`` in evaluator.py), so a plan may drop them."""
     idx_np = np.asarray(idx_np, dtype=np.int64)
     b = len(idx_np)
+    if n_valid is None:
+        n_valid = b
     if force_scatter or b == 0:
         return ReducePlan("scatter", n_dest, jnp.asarray(idx_np, jnp.int32), None, None)
     counts = np.bincount(idx_np, minlength=n_dest)
     k = int(counts.max()) if n_dest else 0
+    # 'contig': the valid rows' destination ids are exactly
+    # repeat(arange(n_dest), k) (zero-value pad tail dropped — exact). The
+    # reduction becomes reshape+sum, which XLA fuses into the producer:
+    # no gather, and the (B, D) operand is never materialized in its
+    # tiny-trailing-dim tile-padded form. This is the common BAL shape
+    # (observations grouped by point).
+    if n_dest > 0 and n_valid > 0 and n_valid % n_dest == 0:
+        kc = n_valid // n_dest
+        if np.array_equal(
+            idx_np[:n_valid],
+            np.repeat(np.arange(n_dest, dtype=np.int64), kc),
+        ):
+            return ReducePlan("contig", n_dest, None, None, None, kc)
     if b * n_dest <= onehot_limit:
         return ReducePlan("onehot", n_dest, jnp.asarray(idx_np, jnp.int32), None, None)
     if n_dest * max(k, 1) <= gather_waste * b:
@@ -93,6 +113,9 @@ def build_reduce_plan(
 
 def apply_reduce_plan(plan: ReducePlan, values) -> jnp.ndarray:
     """``values (B, D)`` summed by destination -> ``(n_dest, D)``."""
+    if plan.kind == "contig":
+        valid = plan.n_dest * plan.k
+        return values[:valid].reshape(plan.n_dest, plan.k, -1).sum(axis=1)
     if plan.kind == "onehot":
         oh = (
             plan.idx[:, None] == jnp.arange(plan.n_dest, dtype=plan.idx.dtype)
@@ -112,7 +135,7 @@ def apply_reduce_plan(plan: ReducePlan, values) -> jnp.ndarray:
 
 
 class ShardedReducePlan(NamedTuple):
-    kind: str  # 'spmd_onehot' | 'spmd_gather'
+    kind: str  # 'spmd_contig' | 'spmd_onehot' | 'spmd_gather'
     n_dest: int
     n_shards: int
     window: int  # R: destination-window width each shard reduces into
@@ -120,6 +143,7 @@ class ShardedReducePlan(NamedTuple):
     idx: Optional[jnp.ndarray]  # (B,) window-local dest ids ('spmd_onehot')
     slots: Optional[jnp.ndarray]  # (n_shards, R, K) local row ids ('spmd_gather')
     mask: Optional[jnp.ndarray]  # (n_shards, R, K)
+    k: int = 0  # uniform rows-per-destination ('spmd_contig')
 
 
 def build_sharded_reduce_plan(
@@ -127,6 +151,7 @@ def build_sharded_reduce_plan(
     n_dest: int,
     n_shards: int,
     onehot_limit: int = ONEHOT_LIMIT,
+    n_valid: Optional[int] = None,
 ) -> ShardedReducePlan:
     """Plan a per-shard local reduction. Rows are split contiguously into
     ``n_shards`` equal shards (the evaluator pads batches to a multiple of
@@ -140,6 +165,32 @@ def build_sharded_reduce_plan(
     assert b % n_shards == 0, (b, n_shards)
     bs = b // n_shards
     parts = idx_np.reshape(n_shards, bs)
+
+    # 'spmd_contig': unpadded uniform repeat pattern whose per-shard row
+    # slice covers a contiguous aligned destination window — each shard's
+    # reduction is a fused reshape+sum into its window, no gather.
+    if (
+        (n_valid is None or n_valid == b)
+        and n_dest > 0
+        and b % n_dest == 0
+    ):
+        kc = b // n_dest
+        if bs % kc == 0 and np.array_equal(
+            idx_np, np.repeat(np.arange(n_dest, dtype=np.int64), kc)
+        ):
+            window = bs // kc
+            los = np.arange(n_shards, dtype=np.int64) * window
+            return ShardedReducePlan(
+                "spmd_contig",
+                n_dest,
+                n_shards,
+                window,
+                jnp.asarray(los, jnp.int32),
+                None,
+                None,
+                None,
+                kc,
+            )
 
     los = parts.min(axis=1)
     his = parts.max(axis=1)
@@ -200,6 +251,23 @@ def apply_sharded_reduce_plan(plan: ShardedReducePlan, values, mesh, axis: str):
     from jax.sharding import PartitionSpec as P
 
     d = values.shape[-1]
+
+    if plan.kind == "spmd_contig":
+
+        def body(vals, lo):
+            local = vals.reshape(plan.window, plan.k, d).sum(axis=1)
+            out = jnp.zeros((plan.n_dest, d), vals.dtype)
+            out = jax.lax.dynamic_update_slice(
+                out, local, (lo[0], jnp.zeros((), lo.dtype))
+            )
+            return jax.lax.psum(out, axis)
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=P(),
+        )(values, plan.lo)
 
     if plan.kind == "spmd_onehot":
 
