@@ -364,34 +364,22 @@ class ExplicitSchurPlan:
             )
 
         # -- dense-S gather map: block position (ci, cj) -> unique pair ---
+        # NOTE on diagonal unique pairs (a == b, the same camera observing
+        # a point through two rows): the true contribution to S[a,a] is
+        # sum_{k<l}(T + T^T); the combined map routes diagonal positions
+        # to an appended per-camera region where BOTH reads are pre-folded
+        # (see dense_s_full / dense_s_offdiag).
         pos2u = np.full(num_cameras * num_cameras, n_uniq, dtype=np.int64)
         pos2u[uniq] = np.arange(n_uniq)
         lo_all = uniq // num_cameras
         hi_all = uniq % num_cameras
-        # transpose side: position (hi, lo) reads the same block transposed
-        self.pos2u_upper = jnp.asarray(pos2u.astype(np.int32))
         pos2u_t = np.full(num_cameras * num_cameras, n_uniq, dtype=np.int64)
         pos2u_t[hi_all * num_cameras + lo_all] = np.arange(n_uniq)
-        # NOTE: a diagonal unique pair (a == b, the same camera observing a
-        # point through two rows) correctly receives BOTH reads: the true
-        # contribution to S[a,a] is sum_{k<l}(T + T^T)
-        self.pos2u_lower = jnp.asarray(pos2u_t.astype(np.int32))
-        # augmented maps for the one-pass FULL dense-S build
-        # (dense_s_full): diagonal (c, c) positions index an appended
-        # per-camera block region [n_uniq, n_uniq + nc); the sentinel
-        # moves to n_uniq + nc
-        sent = n_uniq + num_cameras
-        p_aug = np.where(pos2u == n_uniq, sent, pos2u)
         dd = np.arange(num_cameras)
-        p_aug[dd * num_cameras + dd] = n_uniq + dd
-        self.pos2u_upper_aug = jnp.asarray(p_aug.astype(np.int32))
-        low_aug = np.where(pos2u_t == n_uniq, sent, pos2u_t)
-        # the appended diagonal region subsumes the lower diagonal read
-        low_aug[dd * num_cameras + dd] = sent
-        self.pos2u_lower_aug = jnp.asarray(low_aug.astype(np.int32))
         # SAME-CAMERA pairs (a point observed twice by one camera) store
-        # a real uniq row at the diagonal position; dense_s_full folds it
-        # into the appended region so the diagonal overwrite loses nothing
+        # a real uniq row at the diagonal position; the dense builds fold
+        # it into the appended region so the diagonal overwrite loses
+        # nothing
         self.diag_pair_idx = jnp.asarray(
             pos2u[dd * num_cameras + dd].astype(np.int32)
         )
@@ -401,6 +389,22 @@ class ExplicitSchurPlan:
         # stays in flat-81 2D form (pads only 81->128)
         ij = np.arange(f_size * f_size).reshape(f_size, f_size)
         self.perm_t = jnp.asarray(ij.T.reshape(-1).astype(np.int32))
+        # single-gather map into the COMBINED table
+        # [uniq | uniq^T | per-camera diag region | zero]: every dense-S
+        # position needs exactly ONE read (off-diagonal positions have at
+        # most one real pair side; diagonal positions read the appended
+        # region, which pre-folds both reads of a same-camera pair). This
+        # replaces the two full (nc*nc, 81) gathers + column-permute + add
+        # with one gather from a table small enough to stay cache-resident.
+        comb = np.full(
+            num_cameras * num_cameras, 2 * n_uniq + num_cameras, np.int64
+        )
+        has_up = pos2u < n_uniq
+        comb[has_up] = pos2u[has_up]
+        has_low = (pos2u_t < n_uniq) & ~has_up
+        comb[has_low] = n_uniq + pos2u_t[has_low]
+        comb[dd * num_cameras + dd] = 2 * n_uniq + dd
+        self.pos2u_combined = jnp.asarray(comb.astype(np.int32))
 
         # -- cluster block maps (CLUSTER_JACOBI): slot (c, i, j) -> uniq --
         if self.cluster_of is not None:
@@ -859,57 +863,66 @@ class ExplicitSchurPlan:
     def dense_s_full(self, uniq_flat, diag_flat, chunk_cams: int = 127):
         """One-pass gather-build of the FULL (nc*f, nc*f) correction-plus-
         diagonal matrix: the per-camera diagonal blocks ride as an
-        appended table region indexed by the augmented maps, so the
-        caller needs neither a TPU scatter-add for the diagonal nor a
-        full-matrix symmetrize pass (the off-diagonal is exactly
-        symmetric by construction — entry (a, b) and (b, a) read the SAME
-        table row, one statically permuted)."""
-        nc, f = self.nc, self.f
-        zero = jnp.zeros((1, f * f), uniq_flat.dtype)
+        appended table region, so the caller needs neither a TPU
+        scatter-add for the diagonal nor a full-matrix symmetrize pass
+        (the off-diagonal is exactly symmetric by construction — entry
+        (a, b) and (b, a) read the SAME table row, one statically
+        permuted). The combined table [uniq | uniq^T | diag | zero] +
+        ``pos2u_combined`` makes it ONE gather per position — the block
+        transpose is paid once on the small table, not on the (nc*nc, 81)
+        position array — and the gather is folded into the chunked
+        rearrange so the block-row intermediate never materializes."""
+        zero = jnp.zeros((1, self.f * self.f), uniq_flat.dtype)
         up = jnp.concatenate([uniq_flat, zero])
         # fold same-camera pair corrections (both read directions) into
         # the appended diagonal region
         cc = up[self.diag_pair_idx]
         diag_region = cc + cc[:, self.perm_t] + diag_flat
-        padded = jnp.concatenate([uniq_flat, diag_region, zero])
-        blocks81 = padded[self.pos2u_upper_aug] + padded[
-            self.pos2u_lower_aug
-        ][:, self.perm_t]  # (nc*nc, f*f)
-        return self._rearrange_dense(blocks81, chunk_cams)
+        combined = jnp.concatenate(
+            [uniq_flat, uniq_flat[:, self.perm_t], diag_region, zero]
+        )
+        return self._rearrange_dense(combined, chunk_cams)
 
     def dense_s_offdiag(self, uniq_flat, chunk_cams: int = 127):
         """Gather-build the (nc*f, nc*f) off-diagonal correction from the
-        unique pair blocks (``uniq_flat``: (n_uniq, f*f) flat rows; upper
-        read + statically-permuted transposed lower read), then rearrange
-        block rows to the dense matrix in camera chunks — the full
-        (nc, nc, f, f) intermediate would tile-pad 14x (25 GB at venice),
-        per-chunk it is bounded."""
-        nc, f = self.nc, self.f
-        zero = jnp.zeros((1, f * f), uniq_flat.dtype)
-        padded = jnp.concatenate([uniq_flat, zero])
-        blocks81 = padded[self.pos2u_upper] + padded[self.pos2u_lower][
-            :, self.perm_t
-        ]  # (nc*nc, f*f), 2D throughout
-        return self._rearrange_dense(blocks81, chunk_cams)
+        unique pair blocks (``uniq_flat``: (n_uniq, f*f) flat rows) via
+        the same single-gather combined table as :meth:`dense_s_full`,
+        with a zero diagonal contribution beyond the same-camera pair
+        fold."""
+        zero = jnp.zeros((1, self.f * self.f), uniq_flat.dtype)
+        up = jnp.concatenate([uniq_flat, zero])
+        cc = up[self.diag_pair_idx]
+        diag_region = cc + cc[:, self.perm_t]
+        combined = jnp.concatenate(
+            [uniq_flat, uniq_flat[:, self.perm_t], diag_region, zero]
+        )
+        return self._rearrange_dense(combined, chunk_cams)
 
-    def _rearrange_dense(self, blocks81, chunk_cams):
-        """(nc*nc, f*f) block rows -> the dense (nc*f, nc*f) matrix, in
+    def _rearrange_dense(self, table, chunk_cams):
+        """Combined-table rows -> the dense (nc*f, nc*f) matrix, in
         camera chunks (the full (nc, nc, f, f) intermediate would
-        tile-pad 14x — 25 GB at venice)."""
+        tile-pad 14x — 25 GB at venice). The per-position gather happens
+        INSIDE each chunk so the (nc*nc, f*f) block-row array never
+        materializes: per chunk, read the (cache-resident) table, write
+        the final layout."""
         nc, f = self.nc, self.f
         cch = min(chunk_cams, nc)
         nch = -(-nc // cch)
         pad = nch * cch - nc
-        b = blocks81.reshape(nc, nc * f * f)
+        pm = self.pos2u_combined.reshape(nc, nc)
         if pad:
-            b = jnp.pad(b, ((0, pad), (0, 0)))
+            zrow = jnp.full(
+                (pad, nc), table.shape[0] - 1, self.pos2u_combined.dtype
+            )
+            pm = jnp.concatenate([pm, zrow])
 
-        def rearr(g):  # (cch, nc*f*f) -> (cch*f, nc*f)
+        def rearr(idx):  # (cch, nc) position ids -> (cch*f, nc*f)
+            g = table[idx.reshape(-1)]  # (cch*nc, f*f)
             return (
                 g.reshape(cch, nc, f, f)
                 .swapaxes(1, 2)
                 .reshape(cch * f, nc * f)
             )
 
-        s = jax.lax.map(rearr, b.reshape(nch, cch, nc * f * f))
+        s = jax.lax.map(rearr, pm.reshape(nch, cch, nc))
         return s.reshape(nch * cch * f, nc * f)[: nc * f]

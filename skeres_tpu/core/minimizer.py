@@ -433,7 +433,9 @@ class TrustRegionMinimizer:
                 # placed copies are reused by prepare() below (scaled in
                 # padded space) — one placement gather per linearization
                 g, diag, cam_raw = (
-                    self.schur_solver.gradient_and_diag_padded(blocks)
+                    self.schur_solver.gradient_and_diag_padded(
+                        blocks, state=state
+                    )
                 )
             else:
                 g, diag = ev.gradient_and_diag(blocks)

@@ -267,6 +267,7 @@ class SchurSolver:
                     pidx_pad=jnp.asarray(pidx_pad.astype(np.int32)),
                     K=K,
                     nc=nc,
+                    placed=self._build_placed_consts(bi, src, B_real, B),
                 )
             else:
                 # per-shard padded layout: rows are split contiguously over
@@ -562,14 +563,20 @@ class SchurSolver:
 
     # -- shared assembly pieces ---------------------------------------------------
 
-    def gradient_and_diag_padded(self, blocks):
+    def gradient_and_diag_padded(self, blocks, state=None):
         """g = J^T r and diag(J^T J) with the camera-slot reductions ridden
         on the camera-padded layout (reshape+K-sum instead of the
         hierarchical gather-plan — the measured g/diag bottleneck at
         venice scale), plus the UNSCALED padded Jacobian copies for
-        :meth:`prepare` to reuse (the placement gather is paid once per
-        linearization either way; building it before g/diag lets both
-        consumers share it).
+        :meth:`prepare` to reuse.
+
+        With ``state`` given and placed eval constants available (local
+        layout, unchunked), the padded copy comes from a SECOND row
+        evaluation directly in placed order (:meth:`_placed_eval`) — the
+        row-latency-bound placement gather disappears entirely.
+        Otherwise one placement gather places (jac | r) together (the
+        gather is per-row latency-bound, so placing the narrow residual
+        separately would cost nearly as much).
 
         Returns (g, diag, cam_raw) where cam_raw maps batch index -> the
         placed flat copy. Point-slot and non-padded-batch reductions take
@@ -588,15 +595,17 @@ class SchurSolver:
             s, gi, c, t = info["ret_slots"][0]
             b = blocks[bi]
             bsz, m, T = b.jac.shape
-            # ONE placement gather for (jac | r): the gather is per-row
-            # latency-bound, so placing the narrow residual separately
-            # would cost nearly as much as the wide Jacobian placement
-            placed = self._place_rows(
-                bi,
-                jnp.concatenate([b.jac.reshape(bsz, m * T), b.r], axis=1),
-            )
-            cam_raw[bi] = placed[..., : m * T]
-            r_pad = placed[..., m * T :]
+            if state is not None and self.sorted_info[bi].get("placed"):
+                cam_raw[bi], r_pad = self._placed_eval(bi, state)
+            else:
+                placed = self._place_rows(
+                    bi,
+                    jnp.concatenate(
+                        [b.jac.reshape(bsz, m * T), b.r], axis=1
+                    ),
+                )
+                cam_raw[bi] = placed[..., : m * T]
+                r_pad = placed[..., m * T :]
             padded_slot[bi] = s
 
             def row_fn(jac_cam, pidx_pad, rp, c=c, t=t):
@@ -809,6 +818,76 @@ class SchurSolver:
         regardless of carry layout.)"""
         b, m, t = jac.shape
         return self._place_rows(bi, jac.reshape(b, m * t))
+
+    def _build_placed_consts(self, bi, src_np, B_real, B_pad):
+        """Permuted per-row eval constants in the camera-padded order,
+        built host-side ONCE: with them the padded (jac|r) copy is
+        produced by a SECOND row evaluation directly in placed order
+        (dual-eval, :meth:`_placed_eval`) instead of the 5M-row placement
+        gather — sequential fused writes at HBM speed versus a
+        row-latency-bound gather (measured ~205 ms vs ~90 ms eval at
+        venice scale). Sentinel slots replicate row 0's inputs with
+        weight 0 (the eval zeroes their r/jac rows by weight, so they
+        contribute nothing — identical semantics to the zero rows the
+        placement gather produced). Only built for unchunked batches (the
+        chunked path exists to bound transients; dual-eval would not).
+        Returns (data_p, idx_p, mask_p, weight_p) or None."""
+        ev = self.ev
+        program = ev.program
+        b = program.batches[bi]
+        if ev._chunk_count(bi) != 1:
+            return None
+        dtype = ev.dtype
+
+        def permute(a, cast_float):
+            a = np.asarray(a)
+            if len(a) < B_pad:  # evaluator pad rows replicate row 0
+                a = np.concatenate(
+                    [a, np.repeat(a[:1], B_pad - len(a), axis=0)], axis=0
+                )
+            ext = np.concatenate([a, a[:1]], axis=0)  # sentinel -> row 0
+            out = ext[src_np]
+            if cast_float and np.issubdtype(out.dtype, np.floating):
+                out = out.astype(dtype)
+            return out
+
+        data_p = (
+            None
+            if b.data is None
+            else jax.tree_util.tree_map(
+                lambda a: jnp.asarray(permute(a, True)), b.data
+            )
+        )
+        idx_p = tuple(
+            jnp.asarray(permute(ix, False)) for ix in ev._batch_idx_np[bi]
+        )
+        weight_p = jnp.asarray(
+            (src_np < B_real).astype(np.float32), dtype=dtype
+        )
+        if bool(np.all(program.free_mask)):
+            # all coordinates free: a broadcastable ones row replaces the
+            # (rows, T) placed mask copy (saves ~250 MB at venice scale)
+            mask_p = jnp.ones((1, b.block_tangent_size), dtype=dtype)
+        else:
+            mask_p = jnp.asarray(
+                permute(program.free_mask[b.tangent_index], True)
+            )
+        return (data_p, idx_p, mask_p, weight_p)
+
+    def _placed_eval(self, bi, state):
+        """Dual-eval: residual+Jacobian rows evaluated DIRECTLY in the
+        camera-padded order using the permuted constants of
+        :meth:`_build_placed_consts`. Returns (flat (rows, m*T) Jacobian
+        copy, r_pad (rows, m)) — the same values the placement gather
+        would place, produced by sequential writes."""
+        sinfo = self.sorted_info[bi]
+        data_p, idx_p, mask_p, weight_p = sinfo["placed"]
+        batch = self.ev.program.batches[bi]
+        _, r, jac = self.ev._rows_residuals_and_jacobian(
+            batch, data_p, idx_p, mask_p, weight_p, state
+        )
+        rows, m, T = jac.shape
+        return jac.reshape(rows, m * T), r
 
     def _place_rows(self, bi, flat):
         """Place (B, W) per-observation rows into the camera-padded order:

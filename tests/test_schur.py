@@ -631,3 +631,93 @@ def test_padded_linearize_end_to_end_trajectory():
     assert s0.num_successful_steps == s1.num_successful_steps
     np.testing.assert_allclose(s1.final_cost, s0.final_cost, rtol=1e-5)
     np.testing.assert_allclose(c1, c0, rtol=1e-4, atol=1e-7)
+
+
+def test_placed_dual_eval_matches_placement_gather():
+    """The dual-eval padded copy (:meth:`_placed_eval` — a second row
+    evaluation directly in camera-padded order) must produce the same
+    placed (jac | r) values as the placement gather, and
+    gradient_and_diag_padded(state=...) must match the generic
+    reductions."""
+    import jax.numpy as jnp
+
+    from skeres_tpu.core.evaluator import Evaluator
+    from skeres_tpu.core.schur import SchurSolver
+    from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+    bal = synthetic_bal(num_cameras=7, num_points=60, observations_per_point=3)
+    problem, _, _ = build_bal_problem(bal)
+    program = problem.compile()
+    ev = Evaluator(program)
+    state = program.initial_state(ev.dtype)
+    _, blocks = jax.jit(ev.blocks)(state)
+
+    srt = SchurSolver(ev, iterative=False, sort_threshold=1)
+    assert srt.sorted_info
+    (bi,) = list(srt.sorted_info)
+    assert srt.sorted_info[bi].get("placed") is not None
+
+    b = blocks[bi]
+    bsz, m, T = b.jac.shape
+    placed_ref = jax.jit(
+        lambda fl: srt._place_rows(bi, fl)
+    )(jnp.concatenate([b.jac.reshape(bsz, m * T), b.r], axis=1))
+    jac_p, r_p = jax.jit(lambda st: srt._placed_eval(bi, st))(state)
+    np.testing.assert_allclose(
+        np.asarray(jac_p), np.asarray(placed_ref[..., : m * T]),
+        rtol=1e-6, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_p), np.asarray(placed_ref[..., m * T :]),
+        rtol=1e-6, atol=1e-12,
+    )
+
+    g0, d0 = jax.jit(ev.gradient_and_diag)(blocks)
+    g1, d1, _ = jax.jit(
+        lambda bl, st: srt.gradient_and_diag_padded(bl, state=st)
+    )(blocks, state)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-6,
+                               atol=1e-10)
+
+
+def test_placed_dual_eval_respects_constant_blocks_and_loss():
+    """Placed eval must reproduce the gather placement when a loss
+    corrects the rows and some parameter blocks are constant (non-trivial
+    free mask -> placed mask copy)."""
+    import jax.numpy as jnp
+
+    from skeres_tpu.core.evaluator import Evaluator
+    from skeres_tpu.core.schur import SchurSolver
+    from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+    from skeres_tpu.ops.loss import HuberLoss
+
+    bal = synthetic_bal(num_cameras=6, num_points=50, observations_per_point=3)
+    problem, cameras, _ = build_bal_problem(bal, loss=HuberLoss(1.0))
+    problem.set_parameter_block_constant(cameras[0])
+    program = problem.compile()
+    ev = Evaluator(program)
+    state = program.initial_state(ev.dtype)
+    _, blocks = jax.jit(ev.blocks)(state)
+
+    srt = SchurSolver(ev, iterative=False, sort_threshold=1)
+    (bi,) = list(srt.sorted_info)
+    assert srt.sorted_info[bi].get("placed") is not None
+    # non-trivial mask -> a real placed mask copy, not the ones row
+    assert srt.sorted_info[bi]["placed"][2].shape[0] > 1
+
+    b = blocks[bi]
+    bsz, m, T = b.jac.shape
+    placed_ref = jax.jit(
+        lambda fl: srt._place_rows(bi, fl)
+    )(jnp.concatenate([b.jac.reshape(bsz, m * T), b.r], axis=1))
+    jac_p, r_p = jax.jit(lambda st: srt._placed_eval(bi, st))(state)
+    np.testing.assert_allclose(
+        np.asarray(jac_p), np.asarray(placed_ref[..., : m * T]),
+        rtol=1e-6, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_p), np.asarray(placed_ref[..., m * T :]),
+        rtol=1e-6, atol=1e-12,
+    )

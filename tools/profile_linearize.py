@@ -86,21 +86,25 @@ def main():
         with ev.bind(c):
             return ev.blocks(state)
 
-    def _gdiag(blocks):
+    def _gdiag(blocks, state):
         # mirror the minimizer: camera slots ride the padded layout when
         # the sorted copies are on, and prepare() reuses the placement
         if schur.sorted_info:
-            return schur.gradient_and_diag_padded(blocks)
+            return schur.gradient_and_diag_padded(blocks, state=state)
         g, diag = ev.gradient_and_diag(blocks)
         return g, diag, None
 
     def upto_place(c, state):
-        # blocks + the (jac|r) placement gather alone — isolates the
-        # placement cost within the g/diag phase
+        # blocks + the padded-copy production alone (dual-eval when the
+        # placed constants exist, else the (jac|r) placement gather) —
+        # isolates the placement cost within the g/diag phase
         with ev.bind(c):
             cost, blocks = ev.blocks(state)
             placed = {}
             for bi in schur.sorted_info:
+                if schur.sorted_info[bi].get("placed"):
+                    placed[bi] = schur._placed_eval(bi, state)
+                    continue
                 b = blocks[bi]
                 bsz, m, T = b.jac.shape
                 placed[bi] = schur._place_rows(
@@ -114,13 +118,13 @@ def main():
     def upto_gdiag(c, state):
         with ev.bind(c):
             cost, blocks = ev.blocks(state)
-            g, diag, cam_raw = _gdiag(blocks)
+            g, diag, cam_raw = _gdiag(blocks, state)
             return cost, blocks, g, diag
 
     def upto_prep(c, state):
         with ev.bind(c):
             cost, blocks = ev.blocks(state)
-            g, diag, cam_raw = _gdiag(blocks)
+            g, diag, cam_raw = _gdiag(blocks, state)
             scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
             data = tuple((b.r, b.jac) for b in blocks)
             prep = schur.prepare(
@@ -176,14 +180,14 @@ def main():
     def upto_scaledata(c, state):
         with ev.bind(c):
             cost, blocks = ev.blocks(state)
-            g, diag, cam_raw = _gdiag(blocks)
+            g, diag, cam_raw = _gdiag(blocks, state)
             scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
             data = tuple((b.r, b.jac) for b in blocks)
             return cost, g, diag, scale, schur.scale_data(data, scale), cam_raw
 
     def _prep_parts(c, state, with_grid):
         cost, blocks = ev.blocks(state)
-        g, diag, cam_raw = _gdiag(blocks)
+        g, diag, cam_raw = _gdiag(blocks, state)
         scale = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0)))
         data = tuple((b.r, b.jac) for b in blocks)
         old = schur.hoist_explicit_grid
