@@ -740,9 +740,18 @@ class SchurSolver:
             # cinv-dependent pair contraction. The grid layout depends
             # only on the row structure, so the explicit-S and
             # CLUSTER_JACOBI plans share one grid.
-            prep["explicit_grid"] = gplan.build_grid(
-                self._explicit_a_flat(per_batch)
-            )
+            if getattr(gplan, "grid_is_reshape", False) and gplan.mesh is None:
+                # uniform point-grouped rows: build the (n_pts, kp*f*e)
+                # grid rows DIRECTLY with k-strided slices — one fused
+                # write of the final layout instead of materializing the
+                # (B, f*e) flat rows and relayouting them into grid shape
+                prep["explicit_grid"] = {
+                    "grid": self._explicit_a_grid(per_batch, gplan.kp)
+                }
+            else:
+                prep["explicit_grid"] = gplan.build_grid(
+                    self._explicit_a_flat(per_batch)
+                )
         return prep
 
     def _explicit_a_flat(self, per_batch):
@@ -769,6 +778,32 @@ class SchurSolver:
                 term = jac[:, m, c + i : c + i + 1] * jac[:, m, ec : ec + et]
                 piece = term if piece is None else piece + term
             pieces.append(piece)  # (B, e)
+        return jnp.concatenate(pieces, axis=1)
+
+    def _explicit_a_grid(self, per_batch, kp):
+        """Direct construction of the point-grid A rows
+        (n_pts, kp * f * e) when the grid is a pure reshape of row order
+        (uniform kp observations per point, point-grouped rows): the k-th
+        observation rows of every point are the k-strided row slice of
+        the batch, so each (k, i) column block is one fused
+        slice-multiply — the final grid layout is written once, with no
+        (B, f*e) intermediate or relayout. Values identical to
+        ``build_grid(_explicit_a_flat(...))``."""
+        bi = self.e_batch
+        info = self.batch_info[bi]
+        _, jac, _ = per_batch[bi]
+        s, gi, c, t = info["ret_slots"][0]
+        ec, et = info["e_col"]
+        m_res = jac.shape[1]
+        pieces = []
+        for k in range(kp):
+            jk = jac[k::kp]  # (n_pts, m, T): point p's k-th observation
+            for i in range(t):
+                piece = None
+                for m in range(m_res):
+                    term = jk[:, m, c + i : c + i + 1] * jk[:, m, ec : ec + et]
+                    piece = term if piece is None else piece + term
+                pieces.append(piece)  # (n_pts, e)
         return jnp.concatenate(pieces, axis=1)
 
     def _assemble(self, data, g, d):

@@ -253,3 +253,38 @@ def test_schur_path_dense_small_problem():
     # small problems take the dense-W einsum path; no gate string
     assert s.schur_complement_path in ("dense-W", "explicit")
     assert "gate" not in s.schur_complement_path
+
+
+def test_direct_grid_build_matches_flat_path():
+    """_explicit_a_grid (k-strided direct grid construction, used when the
+    grid is a pure reshape of point-grouped rows) must equal
+    build_grid(_explicit_a_flat(...))."""
+    import jax
+    import jax.numpy as jnp
+
+    from skeres_tpu.core.evaluator import Evaluator
+    from skeres_tpu.core.schur import SchurSolver
+    from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+    bal = synthetic_bal(num_cameras=9, num_points=80, observations_per_point=4)
+    problem, _, _ = build_bal_problem(bal)
+    program = problem.compile()
+    ev = Evaluator(program)
+    state = program.initial_state(ev.dtype)
+    _, blocks = jax.jit(ev.blocks)(state)
+    schur = SchurSolver(ev, iterative=False, sort_threshold=1)
+    plan = schur.explicit_plan
+    if plan is None or not getattr(plan, "grid_is_reshape", False):
+        import pytest
+
+        pytest.skip("fixture did not produce a reshape grid")
+    per_batch = [(b.r, b.jac, schur._split_E(bi, b.jac))
+                 for bi, b in enumerate(blocks)]
+    ref = jax.jit(
+        lambda pb: plan.build_grid(schur._explicit_a_flat(pb))["grid"]
+    )(per_batch)
+    got = jax.jit(
+        lambda pb: schur._explicit_a_grid(pb, plan.kp)
+    )(per_batch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-12)

@@ -68,13 +68,18 @@ def test_reduce_plans_match_scatter(kind_cfg):
 
 
 def test_gather_plan_selected_for_bounded_fanin():
-    # many destinations, each hit at most a few times -> 'gather'
+    # many destinations, each hit at most a few times, NOT grouped
+    # contiguously (the grouped shape now takes the 'contig' plan —
+    # tests/test_segment_reduce.py) -> 'gather'
+    rng = np.random.default_rng(0)
     idx = np.repeat(np.arange(4096), 3)
+    rng.shuffle(idx)
     plan = build_reduce_plan(idx, 4096)
     assert plan.kind == "gather"
-    vals = np.random.default_rng(1).standard_normal((len(idx), 2))
+    vals = rng.standard_normal((len(idx), 2))
     got = np.asarray(apply_reduce_plan(plan, jnp.asarray(vals)))
-    want = vals.reshape(4096, 3, 2).sum(axis=1)
+    want = np.zeros((4096, 2))
+    np.add.at(want, idx, vals)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
 
