@@ -102,7 +102,20 @@ class SchurSolver:
         pair_cap: int = 32,
         cluster_size: int = 64,
         cluster_boost: float = 1e-3,
+        placed_eval: Optional[bool] = None,
     ):
+        # dual-eval placed Jacobian copies (see _build_placed_consts):
+        # OPT-IN — measured ~1.0 s/step SLOWER than the placement gather
+        # at venice scale (chip, r5: 0.318 vs 0.480 iter/s unchunked);
+        # the per-row point-state gather in camera order is as
+        # latency-bound as the row placement it replaces. Kept selectable
+        # (ctor arg or SKERES_PLACED_EVAL=1) for problems whose retained
+        # state is small enough to stay cache-resident.
+        if placed_eval is None:
+            import os
+
+            placed_eval = os.environ.get("SKERES_PLACED_EVAL") == "1"
+        self.placed_eval = placed_eval
         self.ev = evaluator
         self.iterative = iterative
         self.preconditioner = preconditioner
@@ -570,13 +583,14 @@ class SchurSolver:
         venice scale), plus the UNSCALED padded Jacobian copies for
         :meth:`prepare` to reuse.
 
-        With ``state`` given and placed eval constants available (local
-        layout, unchunked), the padded copy comes from a SECOND row
-        evaluation directly in placed order (:meth:`_placed_eval`) — the
-        row-latency-bound placement gather disappears entirely.
-        Otherwise one placement gather places (jac | r) together (the
-        gather is per-row latency-bound, so placing the narrow residual
-        separately would cost nearly as much).
+        With ``state`` given and placed eval constants available
+        (opt-in ``placed_eval``; local layout, unchunked), the padded
+        copy comes from a SECOND row evaluation directly in placed order
+        (:meth:`_placed_eval`) — measured slower at venice scale, see
+        :meth:`_build_placed_consts`. Default: one placement gather
+        places (jac | r) together (the gather is per-row latency-bound,
+        so placing the narrow residual separately would cost nearly as
+        much).
 
         Returns (g, diag, cam_raw) where cam_raw maps batch index -> the
         placed flat copy. Point-slot and non-padded-batch reductions take
@@ -859,14 +873,19 @@ class SchurSolver:
         built host-side ONCE: with them the padded (jac|r) copy is
         produced by a SECOND row evaluation directly in placed order
         (dual-eval, :meth:`_placed_eval`) instead of the 5M-row placement
-        gather — sequential fused writes at HBM speed versus a
-        row-latency-bound gather (measured ~205 ms vs ~90 ms eval at
-        venice scale). Sentinel slots replicate row 0's inputs with
+        gather. MEASURED NEGATIVE at venice scale (chip, r5): the
+        camera-ordered rows gather their point parameters in random
+        order, which is as latency-bound as the row placement it
+        replaces, and the extra row evaluation costs on top — 0.318 vs
+        0.480 iter/s unchunked. Off by default (``placed_eval`` ctor arg
+        / SKERES_PLACED_EVAL=1); retained for problems whose eliminated
+        state fits cache. Sentinel slots replicate row 0's inputs with
         weight 0 (the eval zeroes their r/jac rows by weight, so they
         contribute nothing — identical semantics to the zero rows the
-        placement gather produced). Only built for unchunked batches (the
-        chunked path exists to bound transients; dual-eval would not).
+        placement gather produced). Only built for unchunked batches.
         Returns (data_p, idx_p, mask_p, weight_p) or None."""
+        if not self.placed_eval:
+            return None
         ev = self.ev
         program = ev.program
         b = program.batches[bi]

@@ -652,7 +652,8 @@ def test_placed_dual_eval_matches_placement_gather():
     state = program.initial_state(ev.dtype)
     _, blocks = jax.jit(ev.blocks)(state)
 
-    srt = SchurSolver(ev, iterative=False, sort_threshold=1)
+    srt = SchurSolver(ev, iterative=False, sort_threshold=1,
+                      placed_eval=True)
     assert srt.sorted_info
     (bi,) = list(srt.sorted_info)
     assert srt.sorted_info[bi].get("placed") is not None
@@ -701,7 +702,8 @@ def test_placed_dual_eval_respects_constant_blocks_and_loss():
     state = program.initial_state(ev.dtype)
     _, blocks = jax.jit(ev.blocks)(state)
 
-    srt = SchurSolver(ev, iterative=False, sort_threshold=1)
+    srt = SchurSolver(ev, iterative=False, sort_threshold=1,
+                      placed_eval=True)
     (bi,) = list(srt.sorted_info)
     assert srt.sorted_info[bi].get("placed") is not None
     # non-trivial mask -> a real placed mask copy, not the ones row
