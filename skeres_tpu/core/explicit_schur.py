@@ -336,11 +336,14 @@ class ExplicitSchurPlan:
         self.n_uniq = n_uniq = len(uniq)
 
         if self.mesh is None:
-            # uniform point-sorted case: the grid is the identity reshape
+            # uniform point-sorted case: the grid is the identity
+            # reshape of the VALID row prefix (evaluator pad-tail rows
+            # are never grid slots, so chunk/shard padding does not
+            # break this — build_grid slices them off)
             self.grid_is_reshape = bool(
-                n_valid == B
+                num_points * kp == n_valid
                 and (counts == kp).all()
-                and (grid_src == np.arange(B)).all()
+                and (grid_src == np.arange(n_valid)).all()
             )
             self.grid_src = (
                 None
@@ -612,7 +615,9 @@ class ExplicitSchurPlan:
         d = a_flat.shape[1]
         if self.mesh is None:
             if self.grid_is_reshape:
-                grid = a_flat.reshape(self.np_, self.kp * d)
+                grid = a_flat[: self.np_ * self.kp].reshape(
+                    self.np_, self.kp * d
+                )
             else:
                 zero = jnp.zeros((1, d), a_flat.dtype)
                 grid = jnp.concatenate([a_flat, zero])[self.grid_src].reshape(

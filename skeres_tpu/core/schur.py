@@ -760,7 +760,9 @@ class SchurSolver:
                 # write of the final layout instead of materializing the
                 # (B, f*e) flat rows and relayouting them into grid shape
                 prep["explicit_grid"] = {
-                    "grid": self._explicit_a_grid(per_batch, gplan.kp)
+                    "grid": self._explicit_a_grid(
+                        per_batch, gplan.kp, gplan.np_ * gplan.kp
+                    )
                 }
             else:
                 prep["explicit_grid"] = gplan.build_grid(
@@ -794,18 +796,20 @@ class SchurSolver:
             pieces.append(piece)  # (B, e)
         return jnp.concatenate(pieces, axis=1)
 
-    def _explicit_a_grid(self, per_batch, kp):
+    def _explicit_a_grid(self, per_batch, kp, n_rows):
         """Direct construction of the point-grid A rows
         (n_pts, kp * f * e) when the grid is a pure reshape of row order
         (uniform kp observations per point, point-grouped rows): the k-th
         observation rows of every point are the k-strided row slice of
         the batch, so each (k, i) column block is one fused
         slice-multiply — the final grid layout is written once, with no
-        (B, f*e) intermediate or relayout. Values identical to
+        (B, f*e) intermediate or relayout. ``n_rows`` = n_pts * kp slices
+        off any evaluator pad tail. Values identical to
         ``build_grid(_explicit_a_flat(...))``."""
         bi = self.e_batch
         info = self.batch_info[bi]
         _, jac, _ = per_batch[bi]
+        jac = jac[:n_rows]
         s, gi, c, t = info["ret_slots"][0]
         ec, et = info["e_col"]
         m_res = jac.shape[1]

@@ -284,7 +284,52 @@ def test_direct_grid_build_matches_flat_path():
         lambda pb: plan.build_grid(schur._explicit_a_flat(pb))["grid"]
     )(per_batch)
     got = jax.jit(
-        lambda pb: schur._explicit_a_grid(pb, plan.kp)
+        lambda pb: schur._explicit_a_grid(pb, plan.kp, plan.np_ * plan.kp)
     )(per_batch)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-6, atol=1e-12)
+
+
+def test_reshape_grid_with_chunk_pad_tail():
+    """grid_is_reshape must survive evaluator chunk padding (pad rows are
+    not grid slots); the padded batch's grid — both the build_grid
+    reshape and the direct strided build — must equal the unpadded
+    problem's grid."""
+    import jax
+
+    from skeres_tpu.core.evaluator import Evaluator
+    from skeres_tpu.core.schur import SchurSolver
+    from skeres_tpu.io.bal import build_bal_problem, synthetic_bal
+
+    bal = synthetic_bal(num_cameras=9, num_points=90, observations_per_point=4)
+
+    def grids(chunk):
+        problem, _, _ = build_bal_problem(bal)
+        program = problem.compile()
+        ev = Evaluator(program, chunk_size=chunk)
+        state = program.initial_state(ev.dtype)
+        _, blocks = jax.jit(ev.blocks)(state)
+        schur = SchurSolver(ev, iterative=False, sort_threshold=1)
+        plan = schur.explicit_plan
+        assert plan is not None and plan.grid_is_reshape
+        per_batch = [(b.r, b.jac, schur._split_E(bi, b.jac))
+                     for bi, b in enumerate(blocks)]
+        g1 = jax.jit(
+            lambda pb: plan.build_grid(schur._explicit_a_flat(pb))["grid"]
+        )(per_batch)
+        g2 = jax.jit(
+            lambda pb: schur._explicit_a_grid(
+                pb, plan.kp, plan.np_ * plan.kp
+            )
+        )(per_batch)
+        return np.asarray(g1), np.asarray(g2), blocks[0].jac.shape[0]
+
+    # chunk 90 divides into 4 chunks of 90 with no pad? B=360 -> lcm
+    # quantum 90 -> no pad; use 100: pad to 400
+    g1p, g2p, rows_padded = grids(100)
+    assert rows_padded == 400  # really padded
+    g1u, g2u, rows_u = grids(None)
+    assert rows_u == 360
+    np.testing.assert_allclose(g1p, g1u, rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(g2p, g1u, rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(g2u, g1u, rtol=1e-6, atol=1e-12)
