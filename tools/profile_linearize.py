@@ -43,6 +43,13 @@ def main():
     ap.add_argument("--chunk", type=int, default=None)
     ap.add_argument("--n", type=int, default=5)
     ap.add_argument("--mu", type=float, default=1e-4)
+    ap.add_argument(
+        "--stages",
+        default=None,
+        help="comma-separated stage-name prefixes to run (e.g. "
+        "'P1,P2,P4 '); default all. Marginals are only meaningful "
+        "between adjacent selected stages.",
+    )
     args = ap.parse_args()
 
     import jax
@@ -254,7 +261,15 @@ def main():
         ("P4b2 +offdiag build", upto_offdiag),
         ("P4b +dense_s", upto_dense_s),
         ("P4 +damped solve", upto_solve),
+        ("P5 +try (quad+plus+cost)", upto_try),
     ]
+    if args.stages:
+        want = [w.strip() for w in args.stages.split(",") if w.strip()]
+        stages = [
+            (name, fn)
+            for name, fn in stages
+            if any(name.split()[0] == w for w in want)
+        ]
     times = []
     for name, fn in stages:
         dt = timeit(name, fn)
